@@ -1,0 +1,107 @@
+"""Sequential reference replayer — the correctness oracle.
+
+Pure-Python analogue of the reference's single-threaded listener loop
+(/root/reference/service/handler.go:135-194): consume the binlog in log
+order, keep a dict of key → row, apply insert/update/delete/DDL.  This is
+the semantics the distributed engine must reproduce byte-for-byte (per-row
+content sha256, BASELINE.json invariant).
+
+Semantics pinned here (and asserted by tests):
+
+* **Upsert inserts** — an insert on an existing key overwrites it, exactly
+  like Redis ``SET`` (/root/reference/service/endpoint/redis.go:225-233)
+  and the Mongo duplicate-key tolerant slow path
+  (/root/reference/service/endpoint/mongo.go:193-216).
+* **Arity guard** — events whose ``col_count`` does not match the cached
+  schema width are dropped with a warning, as in every reference endpoint
+  (/root/reference/service/endpoint/redis.go:106-109).  The cached width
+  changes when the in-band DDL is applied
+  (/root/reference/service/transfer_service.go:298-326).
+* **NUMBER coercion** — the DDL-added ``stars`` column arrives as raw
+  strings; unparsable values become null
+  (/root/reference/service/endpoint/endpoint.go:180-197).
+* **Composite key** — separator-less concat of the stringified PK columns
+  in PK order (/root/reference/service/endpoint/endpoint.go:309-322).
+* **Exactly-once** — replaying a duplicated ``(gtid, seq_in_txn)`` event is
+  a no-op state change (last-writer-wins by the same image), so the oracle
+  is insensitive to duplicates; the engine must be too.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+BASE_WIDTH = 5  # (repo, path, commit, lang, content)
+
+
+def coerce_number(raw: str | None) -> int | None:
+    """Reference NUMBER coercion: parse failure → null (endpoint.go:180-197)."""
+    if raw is None:
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        return None
+
+
+def composite_key(repo: str, path: str) -> str:
+    """Separator-less PK concat (endpoint.go:309-322)."""
+    return f"{repo}{path}"
+
+
+def replay_full(events: pa.Table) -> dict[str, dict]:
+    """Replay a full event table sequentially; returns key → final row.
+
+    ``events`` must use ``schema.EVENT_SCHEMA``; rows are processed in
+    ``(gtid, seq_in_txn)`` order regardless of physical order.
+    """
+    cols = events.select(
+        ["gtid", "seq_in_txn", "op", "col_count", "before", "after", "ddl"]
+    ).to_pylist()
+    cols.sort(key=lambda r: (r["gtid"], r["seq_in_txn"]))
+
+    state: dict[str, dict] = {}
+    width = BASE_WIDTH
+    has_stars = False
+    for r in cols:
+        op = r["op"]
+        if op == "ddl":
+            if r["ddl"] and r["ddl"]["add_column"] == "stars":
+                width = BASE_WIDTH + 1
+                has_stars = True
+            continue
+        if r["col_count"] != width:
+            continue
+        if op == "delete":
+            img = r["before"]
+            state.pop(composite_key(img["repo"], img["path"]), None)
+            continue
+        img = r["after"]
+        key = composite_key(img["repo"], img["path"])
+        state[key] = {
+            "repo": img["repo"],
+            "path": img["path"],
+            "commit": img["commit"],
+            "lang": img["lang"],
+            "content": img["content"],
+            "stars": coerce_number(img["stars"]) if has_stars else None,
+        }
+    if not has_stars:
+        for row in state.values():
+            row["stars"] = None
+    return state
+
+
+def row_sha256(row: dict) -> str:
+    """Canonical per-row content hash (BASELINE.json invariant)."""
+    parts = []
+    for col in ("repo", "path", "commit", "lang", "content", "stars"):
+        v = row.get(col)
+        parts.append("\\N" if v is None else str(v))
+    return hashlib.sha256("\x1e".join(parts).encode()).hexdigest()
+
+
+def state_hashes(state: dict[str, dict]) -> dict[str, str]:
+    return {k: row_sha256(v) for k, v in state.items()}

@@ -1,0 +1,85 @@
+"""Canonical Arrow schemas for the CDC engine.
+
+The event record mirrors the reference's ``model.RowRequest``
+(/root/reference/model/request.go:11-17) — ``{RuleKey, Action, Timestamp,
+Old, Row}`` — upgraded from positional ``[]interface{}`` rows to typed Arrow
+structs, and from a (binlog file, offset) position
+(/root/reference/storage/bolt_position_storage.go:48-71) to a
+``(gtid, seq_in_txn)`` pair usable for exactly-once fencing.
+
+Raw binlog values arrive untyped (the reference coerces them per column in
+``convertColumnData``, /root/reference/service/endpoint/endpoint.go:90-219);
+we model that by carrying the DDL-added ``stars`` column as *string* in the
+row image — the decode stage performs the reference's NUMBER coercion
+(bad parse -> null, endpoint.go:180-197).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+TABLE_NAME = "repos"
+
+# Base lake-table columns, per BASELINE.json input_hint.
+BASE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+# Row image carried by every change event.  ``stars`` is the column added by
+# the mid-stream DDL; it is string-typed here (raw binlog bytes) and null for
+# pre-DDL events.
+ROW_IMAGE_TYPE = pa.struct(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("stars", pa.string()),
+    ]
+)
+
+DDL_TYPE = pa.struct([("add_column", pa.string()), ("arrow_type", pa.string())])
+
+EVENT_SCHEMA = pa.schema(
+    [
+        ("gtid", pa.int64()),        # transaction id (GTID analogue), monotone
+        ("seq_in_txn", pa.int32()),  # order inside the transaction
+        ("pos", pa.int64()),         # global change index (binlog offset analogue)
+        ("op", pa.string()),         # insert | update | delete | ddl
+        ("table", pa.string()),
+        ("ts", pa.timestamp("s")),
+        ("col_count", pa.int32()),   # row-image arity as sent (arity guard M1)
+        ("before", ROW_IMAGE_TYPE),  # BEFORE image: updates + deletes
+        ("after", ROW_IMAGE_TYPE),   # AFTER image: inserts + updates
+        ("ddl", DDL_TYPE),           # only for op='ddl'
+    ]
+)
+
+# Decoded (flattened) change-row schema produced by stages.decode — the
+# engine's internal IR.  ``key`` is the reference's separator-less composite
+# PK concat (/root/reference/service/endpoint/endpoint.go:309-322).
+DECODED_COLUMNS = [
+    "gtid",
+    "seq_in_txn",
+    "pos",
+    "op",
+    "ts",
+    "key",
+    "repo",
+    "path",
+    "commit",
+    "lang",
+    "content",
+    "stars",
+]
+
+# Final lake-table schema after the DDL widened it.
+LAKE_SCHEMA = pa.schema(
+    [
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("content", pa.string()),
+        ("stars", pa.int64()),
+    ]
+)

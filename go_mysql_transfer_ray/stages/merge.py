@@ -1,0 +1,104 @@
+"""Key-partitioned upsert/merge — the engine's one true shuffle.
+
+The reference applies changes to keyed sink state strictly in log order from
+a single thread (/root/reference/service/handler.go:135-194; Redis SET/DEL
+/root/reference/service/endpoint/redis.go:225-269, Mongo by ``_id``
+/root/reference/service/endpoint/mongo.go:166-190).  Because every change
+event carries the **full AFTER image**, the final state of a key is fully
+determined by its **last** event in ``(gtid, seq_in_txn)`` order:
+
+    state(key) = argmax_{(gtid, seq)} events(key);  absent if that op=delete
+
+i.e. last-writer-wins per key is an **associative, commutative reduce** —
+which is what makes it expressible as a skew-proof Ray Data plan:
+
+  1. ``combine_batch`` (inside map_batches, before the shuffle): per-block
+     partial reduce — keep only each key's last event in the block.  This is
+     the salted-sub-partition / combiner pattern required by the north rule:
+     a hot key contributes at most ONE row per input block to the shuffle,
+     no matter how many updates hit it, so partition sizes stay balanced
+     even when one repo receives ~50% of all events.
+  2. hash-partition on the composite key (``add_partition_column``) —
+     deterministic ``hash(key) % P``.
+  3. ``final_merge`` per partition: same reduce over the partials, then drop
+     delete tombstones.
+
+Exactly-once falls out of the same reduce: duplicated blocks / replayed
+events share ``(gtid, seq)`` and an identical image, so the argmax is
+unchanged (the upgrade of the reference's at-least-once position throttle,
+/root/reference/service/handler.go:152-191).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SORT_KEYS = [
+    ("key", "ascending"),
+    ("gtid", "ascending"),
+    ("seq_in_txn", "ascending"),
+]
+
+
+def keep_last_per_key(t: pa.Table) -> pa.Table:
+    """Vectorized per-key argmax(gtid, seq): sort + last-of-run filter."""
+    n = t.num_rows
+    if n <= 1:
+        return t
+    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
+    k = t.column("key").combine_chunks()
+    last_of_run = pc.not_equal(k.slice(0, n - 1), k.slice(1, n - 1))
+    mask = pa.concat_arrays(
+        [last_of_run.combine_chunks() if isinstance(last_of_run, pa.ChunkedArray) else last_of_run,
+         pa.array([True])]
+    )
+    return t.filter(mask)
+
+
+def key_hash(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash of the key column (stable across processes:
+    pandas siphash with its fixed default hash_key)."""
+    arr = keys.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(arr, categorize=False)
+
+
+def add_partition_column(t: pa.Table, num_partitions: int) -> pa.Table:
+    part = (key_hash(t.column("key")) % np.uint64(num_partitions)).astype(np.int32)
+    return t.append_column("_part", pa.array(part, type=pa.int32()))
+
+
+class Combiner:
+    """map_batches stage: partial reduce + partition id + fencing filter.
+
+    ``skip_parts``: partitions already converged at-or-past the target
+    watermark (from manifests) — their events are dropped at the earliest
+    stage so a resumed run does no work for finished partitions (GTID
+    fencing, the upgrade of the reference's positionStorage resume,
+    /root/reference/storage/bolt_position_storage.go:48-71).
+    """
+
+    def __init__(self, num_partitions: int, skip_parts: frozenset[int] = frozenset()):
+        self.num_partitions = num_partitions
+        self.skip_parts = skip_parts
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = keep_last_per_key(batch)
+        t = add_partition_column(t, self.num_partitions)
+        if self.skip_parts:
+            keep = np.isin(
+                t.column("_part").to_numpy(),
+                np.fromiter(self.skip_parts, dtype=np.int32),
+                invert=True,
+            )
+            t = t.filter(pa.array(keep))
+        return t
+
+
+def final_merge(group: pa.Table, *, final_columns: list[str]) -> pa.Table:
+    """Per-partition finalize: reduce partials, drop tombstones, project."""
+    t = keep_last_per_key(group)
+    t = t.filter(pc.not_equal(t.column("op"), pa.scalar("delete")))
+    return t.select(final_columns)

@@ -1,0 +1,83 @@
+"""Per-partition lake manifests — checkpoint / resume / exactly-once fence.
+
+Upgrade of the reference's single BoltDB binlog position
+(/root/reference/storage/bolt_position_storage.go:48-71, save throttling at
+/root/reference/service/handler.go:149-192) to **per-partition resumable
+lineage**: each merge partition atomically writes its Parquet data file and
+a small JSON manifest ``{partition, gtid_watermark, file, rows}``.
+
+Atomicity = write-temp + ``os.replace`` (rename) — a crash mid-write leaves
+either no manifest (partition re-runs: the merge is deterministic and
+idempotent) or a complete one (partition is skipped on resume).  A resumed
+run skips every partition whose manifest watermark is >= the run's target
+watermark (GTID fencing); partial partitions are simply recomputed from the
+retained input log, which replays to a byte-identical state because the
+merge is a pure function of the event set.
+
+Layout::
+
+    out_dir/
+      part=00017/data.parquet
+      _manifests/part-00017.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests")
+
+
+def write_partition(
+    out_dir: str, part: int, table: pa.Table, gtid_watermark: int
+) -> dict:
+    """Atomically write one partition's data + manifest; returns the manifest."""
+    pdir = os.path.join(out_dir, f"part={part:05d}")
+    os.makedirs(pdir, exist_ok=True)
+    data_path = os.path.join(pdir, "data.parquet")
+    tmp = data_path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, data_path)
+
+    m = {
+        "partition": part,
+        "gtid_watermark": int(gtid_watermark),
+        "file": data_path,
+        "rows": table.num_rows,
+    }
+    mdir = manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"part-{part:05d}.json")
+    tmpm = mpath + ".tmp"
+    with open(tmpm, "w") as f:
+        json.dump(m, f)
+    os.replace(tmpm, mpath)
+    return m
+
+
+def load_manifests(out_dir: str) -> dict[int, dict]:
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[int, dict] = {}
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+            out[m["partition"]] = m
+    return out
+
+
+def finished_partitions(out_dir: str, target_watermark: int) -> frozenset[int]:
+    """Partitions already converged at (or past) the target watermark."""
+    return frozenset(
+        p
+        for p, m in load_manifests(out_dir).items()
+        if m["gtid_watermark"] >= target_watermark
+    )

@@ -1,0 +1,96 @@
+"""End-to-end replay vs the sequential oracle (per-row sha256 parity)."""
+
+import shutil
+
+import pytest
+
+from go_mysql_transfer_ray import oracle
+from go_mysql_transfer_ray.pipelines import cdc
+from go_mysql_transfer_ray.sources.binlog import BinlogConfig, generate, materialize_events
+
+from .util import assert_state_equal
+
+
+def run_case(tmp_path, cfg: BinlogConfig, num_partitions=16, **replay_kw):
+    events_dir = materialize_events(cfg, root=str(tmp_path / "events"), shards=4)
+    out = str(tmp_path / "lake")
+    metrics = cdc.replay(events_dir, out, num_partitions=num_partitions, **replay_kw)
+    engine = cdc.lake_table(out)
+    ora = oracle.replay_full(generate(cfg).table)
+    assert_state_equal(engine, ora)
+    return metrics, engine, out, events_dir
+
+
+def test_insert_only(tmp_path):
+    cfg = BinlogConfig(num_keys=150, avg_events_per_key=1.0, delete_pct=0, ddl_at=1.0)
+    metrics, engine, _, _ = run_case(tmp_path, cfg)
+    assert engine.num_rows == 150
+    assert metrics["rows"] == 150
+
+
+def test_mixed_iud_chains(tmp_path):
+    cfg = BinlogConfig(num_keys=400, avg_events_per_key=6.0, delete_pct=25)
+    metrics, engine, _, _ = run_case(tmp_path, cfg)
+    assert 0 < engine.num_rows < 400  # some keys end deleted
+    assert metrics["parts_written"] > 0
+
+
+def test_ddl_widening_nulls(tmp_path):
+    cfg = BinlogConfig(num_keys=300, avg_events_per_key=3.0, ddl_at=0.5)
+    _, engine, _, _ = run_case(tmp_path, cfg)
+    assert "stars" in engine.column_names
+    stars = engine.column("stars")
+    assert stars.null_count > 0, "pre-DDL last-touched rows must be null-padded"
+    assert stars.null_count < engine.num_rows, "post-DDL rows must carry stars"
+
+
+def test_arity_guard_drops(tmp_path):
+    cfg = BinlogConfig(num_keys=300, avg_events_per_key=4.0, bad_arity_permille=80)
+    run_case(tmp_path, cfg)  # oracle drops the same events → parity proves it
+
+
+def test_hot_skew_same_state_and_balanced(tmp_path):
+    cfg = BinlogConfig(
+        num_keys=400, avg_events_per_key=4.0, hot_repos=1, hot_multiplier=25
+    )
+    _, _, out, _ = run_case(tmp_path, cfg, num_partitions=8)
+    from go_mysql_transfer_ray.state.manifest import load_manifests
+
+    rows = [m["rows"] for m in load_manifests(out).values()]
+    assert len(rows) == 8
+    # keys hash-distribute even when one repo dominates the event volume
+    assert max(rows) <= 3 * max(1, min(rows)) + 10
+
+
+def test_exactly_once_duplicate_blocks(tmp_path):
+    import ray.data
+
+    cfg = BinlogConfig(num_keys=250, avg_events_per_key=4.0, delete_pct=20)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "events"), shards=4)
+    files = cdc.event_files(events_dir)
+    dup = ray.data.read_parquet(files[:2])  # re-deliver half the log
+    out = str(tmp_path / "lake")
+    cdc.replay(events_dir, out, num_partitions=8, extra_events=dup)
+    engine = cdc.lake_table(out)
+    ora = oracle.replay_full(generate(cfg).table)
+    assert_state_equal(engine, ora)
+
+
+def test_resume_skips_finished_partitions(tmp_path):
+    cfg = BinlogConfig(num_keys=300, avg_events_per_key=3.0)
+    metrics, engine, out, events_dir = run_case(tmp_path, cfg, num_partitions=8)
+    assert metrics["parts_written"] == 8
+
+    # full resume: everything fenced, nothing recomputed
+    m2 = cdc.replay(events_dir, out, num_partitions=8)
+    assert m2["parts_written"] == 0 and m2["parts_skipped"] == 8 and m2["resumed"]
+
+    # crash simulation: two partitions lost their manifests mid-write
+    shutil.rmtree(out + "/part=00003")
+    (tmp_path / "lake" / "_manifests" / "part-00003.json").unlink()
+    (tmp_path / "lake" / "_manifests" / "part-00006.json").unlink()
+    m3 = cdc.replay(events_dir, out, num_partitions=8)
+    assert m3["parts_written"] == 2 and m3["parts_skipped"] == 6
+    engine2 = cdc.lake_table(out)
+    ora = oracle.replay_full(generate(cfg).table)
+    assert_state_equal(engine2, ora)
