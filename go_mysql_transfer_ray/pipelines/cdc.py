@@ -38,10 +38,18 @@ import pyarrow.parquet as pq
 
 import ray.data
 
+from ..functions.coerce import ColumnSpec
+from ..rules import RuleConfig, RulePlan
 from ..schema import BASE_COLUMNS
 from ..stages.decode import Decoder
 from ..stages.merge import Combiner, final_merge
+from ..stages.rule_engine import RuleEngine
 from ..state import manifest as mstate
+
+# Column specs of the decoded change rows (post-decode they are already
+# typed; coercion kernels pass typed input through).
+BASE_SPECS = [ColumnSpec(c, "string") for c in BASE_COLUMNS]
+_DDL_TYPE_MAP = {"int64": "number", "double": "float", "string": "string"}
 
 
 def event_files(events_dir: str) -> list[str]:
@@ -104,6 +112,18 @@ def _write_partition_group(
     )
 
 
+def _stream_specs(ddl_events: list[dict]) -> list[ColumnSpec]:
+    """Schema specs after DDL widening — the analogue of the reference's
+    rule rebuild on OnTableChanged (/root/reference/service/transfer_service.go:298-326)."""
+    specs = list(BASE_SPECS)
+    for d in ddl_events:
+        if d and d.get("add_column"):
+            specs.append(
+                ColumnSpec(d["add_column"], _DDL_TYPE_MAP.get(d.get("arrow_type", "string"), "string"))
+            )
+    return specs
+
+
 def replay(
     events_dir: str,
     out_dir: str,
@@ -111,19 +131,33 @@ def replay(
     num_partitions: int = 64,
     resume: bool = True,
     transform: Callable[[pa.Table], pa.Table] | None = None,
+    rule_config: RuleConfig | None = None,
+    udf: Callable | None = None,
+    lookup: dict | None = None,
+    rule_concurrency: "int | tuple[int, int]" = (1, 4),
     batch_size: int = 32768,
     extra_events: "ray.data.Dataset | None" = None,
 ) -> dict:
     """Replay the event log into a converged lake table at ``out_dir``.
 
-    ``extra_events``: optional additional event dataset unioned with the
-    shard read — used by tests to inject duplicated blocks (exactly-once).
-    Returns run metrics: watermark, partitions written, rows written.
+    ``rule_config``: optional per-table transform rule (the reference's YAML
+    rule DSL) applied between decode and merge by a RuleEngine actor pool;
+    ``udf``/``lookup`` are the Lua-contract hook and the broadcast dimension
+    dict (dbOps analogue).  ``extra_events``: optional additional event
+    dataset unioned with the shard read — used by tests to inject duplicated
+    blocks (exactly-once).  Returns run metrics.
     """
     facts = stream_facts(events_dir)
     watermark = facts["watermark"]
-    final_cols = _final_columns(facts["ddl_events"])
     ddl_gtid = facts["ddl_events"][0]["gtid"] if facts["ddl_events"] else None
+
+    if rule_config is not None:
+        if udf is not None:
+            final_cols = None  # UDF may add columns: derive from the data
+        else:
+            final_cols = list(RulePlan(rule_config, _stream_specs(facts["ddl_events"])).output_order)
+    else:
+        final_cols = _final_columns(facts["ddl_events"])
 
     skip = (
         mstate.finished_partitions(out_dir, watermark) if resume else frozenset()
@@ -141,13 +175,33 @@ def replay(
     ds = ray.data.read_parquet(event_files(events_dir))
     if extra_events is not None:
         ds = ds.union(extra_events)
+    keep_before = rule_config is not None and (
+        udf is not None or rule_config.reserve_raw_data
+    )
     ds = ds.map_batches(
-        Decoder(ddl_gtid=ddl_gtid), batch_format="pyarrow", batch_size=batch_size
+        Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before),
+        batch_format="pyarrow",
+        batch_size=batch_size,
     )
     if transform is not None:
         ds = ds.map_batches(transform, batch_format="pyarrow", batch_size=batch_size)
-    # keep only merge-relevant columns before the shuffle
-    ds = ds.select_columns(["key", "gtid", "seq_in_txn", "op", *final_cols])
+    if rule_config is not None:
+        # stateful actor pool: plan compiled + lookup fetched once per actor
+        lookup_ref = ray.put(lookup) if lookup else None
+        ds = ds.map_batches(
+            RuleEngine,
+            fn_constructor_args=(rule_config, _stream_specs(facts["ddl_events"])),
+            fn_constructor_kwargs={"udf": udf, "lookup_ref": lookup_ref},
+            # (min,max) autoscaling so the pool never reserves every CPU and
+            # starves the read / shuffle stages (ray_guide: size pools to
+            # leave headroom)
+            concurrency=rule_concurrency,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        # keep only merge-relevant columns before the shuffle
+        ds = ds.select_columns(["key", "gtid", "seq_in_txn", "op", *final_cols])
     ds = ds.map_batches(
         Combiner(num_partitions, skip_parts=skip),
         batch_format="pyarrow",

@@ -1,0 +1,122 @@
+"""Message-sink mode — MQ envelope parity (Kafka/RocketMQ/RabbitMQ path).
+
+The reference's MQ sinks wrap every change row in a JSON envelope
+``{"action": ..., "timestamp": ..., "raw": <old row, update only>,
+"date": <row map or encoded string>}`` — ``MQRespond``
+(/root/reference/model/respond.go:29-36), built per row in
+``buildMessage`` (/root/reference/service/endpoint/kafka.go:205-230):
+
+* ``date`` is the projected row map itself under the ``json`` encoder,
+  otherwise the encoder/formatter-rendered string (kafka.go:210-214);
+* ``raw`` is the OLD row map, present only for updates when
+  ``reserve_raw_data`` is set (kafka.go:216-218);
+* field order is the Go struct order (action, timestamp, raw, date); map
+  values inside are key-sorted (Go json.Marshal of a map).
+
+Note the reference's Kafka producer uses a **random partitioner**
+(/root/reference/service/endpoint/kafka.go:51) — per-key ordering is
+already surrendered on MQ sinks, so this pipeline is embarrassingly
+parallel and needs no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.encoders import _escape_html_like_go, encode_json
+from ..rules import RuleConfig, RulePlan
+from ..stages.decode import Decoder
+from .cdc import _stream_specs, event_files, stream_facts
+
+
+class EnvelopeBuilder:
+    """Actor-pool stage: compiled rule plan + per-batch envelope render."""
+
+    def __init__(self, rule_config: RuleConfig, ddl_events: list[dict]):
+        self.plan = RulePlan(rule_config, _stream_specs(ddl_events))
+        self.reserve_raw = rule_config.reserve_raw_data
+
+    def _encode_rows(self, projected: pa.Table) -> list:
+        if self.plan.config.value_encoder == "json" and self.plan.value_render is None:
+            order = [
+                c for c in self.plan.output_order if c in projected.column_names
+            ]
+            return [
+                encode_json({k: r.get(k) for k in order})
+                for r in projected.to_pylist()
+            ]
+        return [
+            _escape_html_like_go(json.dumps(s))
+            for s in self.plan.encode_values(projected).to_pylist()
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        projected = self.plan.apply(batch)
+        dates = self._encode_rows(projected)
+        ops = batch.column("op").to_pylist()
+        # reference Timestamp is epoch seconds (uint32, e.Header.Timestamp)
+        ts = batch.column("ts").cast(pa.timestamp("s")).cast(pa.int64()).to_pylist()
+
+        raws: list[str | None] = [None] * len(ops)
+        if self.reserve_raw and "before" in batch.column_names:
+            before = batch.column("before")
+            flat = pa.table(
+                {
+                    f.name: pa.compute.struct_field(before, f.name)
+                    for f in before.type
+                    if f.name in {c.name for c in self.plan.columns}
+                }
+            )
+            old_projected = self.plan.apply(flat)
+            old_rows = old_projected.to_pylist()
+            order = [
+                c for c in self.plan.output_order if c in old_projected.column_names
+            ]
+            for i, op in enumerate(ops):
+                if op == "update":
+                    raws[i] = encode_json({k: old_rows[i].get(k) for k in order})
+
+        envelopes = []
+        for op, t, raw, date in zip(ops, ts, raws, dates):
+            raw_part = f',"raw":{raw}' if raw is not None else ""
+            envelopes.append(
+                f'{{"action":{json.dumps(op)},"timestamp":{t}{raw_part},"date":{date}}}'
+            )
+        return pa.table(
+            {
+                "key": batch.column("key"),
+                "action": batch.column("op"),
+                "value": pa.array(envelopes, pa.string()),
+            }
+        )
+
+
+def message_stream(
+    events_dir: str,
+    rule_config: RuleConfig | None = None,
+    *,
+    batch_size: int = 16384,
+    concurrency: "int | tuple[int, int]" = (1, 4),
+) -> "ray.data.Dataset":
+    """Decode + rule + envelope — returns the message Dataset (no shuffle)."""
+    rule_config = rule_config or RuleConfig()
+    facts = stream_facts(events_dir)
+    ddl_gtid = facts["ddl_events"][0]["gtid"] if facts["ddl_events"] else None
+    keep_before = rule_config.reserve_raw_data
+    ds = ray.data.read_parquet(event_files(events_dir))
+    ds = ds.map_batches(
+        Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return ds.map_batches(
+        EnvelopeBuilder,
+        fn_constructor_args=(rule_config, facts["ddl_events"]),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

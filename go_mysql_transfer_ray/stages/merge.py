@@ -97,8 +97,17 @@ class Combiner:
         return t
 
 
-def final_merge(group: pa.Table, *, final_columns: list[str]) -> pa.Table:
-    """Per-partition finalize: reduce partials, drop tombstones, project."""
+INTERNAL_COLUMNS = ("key", "gtid", "seq_in_txn", "op", "pos", "ts", "before", "_part")
+
+
+def final_merge(group: pa.Table, *, final_columns: list[str] | None) -> pa.Table:
+    """Per-partition finalize: reduce partials, drop tombstones, project.
+
+    ``final_columns=None``: keep every non-internal column (used when a UDF
+    may add columns the plan can't know statically).
+    """
     t = keep_last_per_key(group)
     t = t.filter(pc.not_equal(t.column("op"), pa.scalar("delete")))
+    if final_columns is None:
+        final_columns = [c for c in t.column_names if c not in INTERNAL_COLUMNS]
     return t.select(final_columns)

@@ -1,0 +1,147 @@
+"""Rule-engine stage — actor pool applying compiled RulePlans + UDF hooks.
+
+The Ray re-expression of the reference's Lua VM pool + compiled-script
+machinery (/root/reference/service/luaengine/actuator.go:46-101,
+/root/reference/global/rule.go:621-694): a callable CLASS handed to
+``map_batches(Cls, concurrency=N)`` so that plan compilation, UDF setup and
+lookup-table fetch happen ONCE per actor (``__init__``), and every batch is
+transformed vectorized in ``__call__``.
+
+UDF contract (T3, /root/reference/service/luaengine/actuator.go:33-37,103-113):
+the reference exposes globals ``___ROW___``, ``___OLDROW___``, ``___ACT___``
+to Lua and decodes a ``___RET___`` table of ops.  Our equivalent is
+
+    udf(row: dict, old_row: dict | None, action: str, ctx: UdfContext)
+        -> list[SinkOp] | dict | None
+
+* return a dict        → replace the row (common transform case);
+* return ``None``      → drop the row (filter);
+* return list[SinkOp]  → explicit ops incl. UPSERT/DELETE with custom keys
+  (the Lua ret-protocol ``action_structcode_key`` analogue,
+  /root/reference/service/luaengine/redis_actuator.go:169-245).
+
+``ctx.lookup`` is the dbOps analogue
+(/root/reference/service/luaengine/db_actuator.go:39-124): instead of
+per-row SQL against the source, a small dimension table is broadcast via
+``ray.put`` once and fetched per actor — never per batch, never per row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import pyarrow as pa
+
+import ray
+
+from ..rules import RuleConfig, RulePlan
+from ..functions.coerce import ColumnSpec
+
+
+@dataclass
+class SinkOp:
+    """One logical sink operation (the Respond analogue,
+    /root/reference/model/respond.go:29-61)."""
+
+    action: str           # insert | update | delete | upsert
+    key: str
+    row: dict | None = None
+
+
+@dataclass
+class UdfContext:
+    lookup: dict[str, Any]
+
+
+class RuleEngine:
+    """map_batches actor: vectorized rule application (+ optional UDF).
+
+    Parameters are plain picklable values; heavy state (plan compile, UDF
+    import, broadcast fetch) is built in ``__init__`` — once per actor.
+    """
+
+    def __init__(
+        self,
+        config: RuleConfig,
+        columns: list[ColumnSpec],
+        *,
+        udf: Callable | None = None,
+        lookup_ref: "ray.ObjectRef | None" = None,
+        passthrough: list[str] = ("gtid", "seq_in_txn", "op", "key"),
+    ):
+        self.plan = RulePlan(config, columns)
+        self.udf = udf
+        lookup = ray.get(lookup_ref) if lookup_ref is not None else {}
+        self.ctx = UdfContext(lookup=lookup)
+        self.passthrough = list(passthrough)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = {
+            name: batch.column(name)
+            for name in self.passthrough
+            if name in batch.column_names
+        }
+        projected = self.plan.apply(batch)
+        if self.udf is None:
+            return pa.table({**meta, **{c: projected.column(c) for c in projected.column_names}})
+        return self._apply_udf(batch, meta, projected)
+
+    def _apply_udf(self, batch: pa.Table, meta: dict, projected: pa.Table) -> pa.Table:
+        """Row-contract UDF path (inherently row-wise, like the Lua VM)."""
+        rows = projected.to_pylist()
+        ops = (
+            batch.column("op").to_pylist()
+            if "op" in batch.column_names
+            else ["insert"] * len(rows)
+        )
+        old_rows = (
+            batch.column("before").to_pylist()
+            if "before" in batch.column_names
+            else [None] * len(rows)
+        )
+        keep_idx: list[int] = []
+        out_rows: list[dict] = []
+        out_actions: list[str] = []
+        out_keys: list[str | None] = []
+        keys = (
+            batch.column("key").to_pylist()
+            if "key" in batch.column_names
+            else [None] * len(rows)
+        )
+        for i, (row, old, act) in enumerate(zip(rows, old_rows, ops)):
+            ret = self.udf(row, old, act, self.ctx)
+            if ret is None:
+                continue
+            if isinstance(ret, dict):
+                keep_idx.append(i)
+                out_rows.append(ret)
+                out_actions.append(act)
+                out_keys.append(keys[i])
+            else:  # list[SinkOp]
+                for op_ in ret:
+                    keep_idx.append(i)
+                    out_rows.append(op_.row if op_.row is not None else row)
+                    out_actions.append("delete" if op_.action == "delete" else act if op_.action == "upsert" else op_.action)
+                    out_keys.append(op_.key if op_.key is not None else keys[i])
+        if not out_rows:  # whole batch filtered: keep a stable empty schema
+            empty_meta = {n: c.slice(0, 0) for n, c in meta.items()}
+            return pa.table(
+                {**empty_meta, **{c: projected.column(c).slice(0, 0) for c in projected.column_names}}
+            )
+        cols: dict[str, Any] = {}
+        for name, col in meta.items():
+            if name == "op":
+                cols["op"] = pa.array(out_actions, pa.string())
+            elif name == "key":
+                cols["key"] = pa.array(out_keys, pa.string())
+            else:
+                cols[name] = col.take(pa.array(keep_idx, pa.int64()))
+        # deterministic column order: plan output order, then sorted extras
+        extra = sorted({k for r in out_rows for k in r} - set(projected.column_names))
+        all_names = [
+            c for c in projected.column_names if any(c in r for r in out_rows)
+        ] + extra
+        for name in all_names:
+            cols[name] = pa.array([r.get(name) for r in out_rows])
+        return pa.table(cols)

@@ -1,0 +1,151 @@
+"""Rule engine + UDF integrated into the replay pipeline, vs oracle."""
+
+import json
+
+import pyarrow.compute as pc
+
+from go_mysql_transfer_ray import oracle
+from go_mysql_transfer_ray.pipelines import cdc, message_sink
+from go_mysql_transfer_ray.rules import RuleConfig
+from go_mysql_transfer_ray.sources.binlog import BinlogConfig, generate, materialize_events
+
+CFG = BinlogConfig(num_keys=250, avg_events_per_key=4.0, delete_pct=15)
+
+
+def oracle_rule_rows(state: dict, transform) -> dict:
+    """Apply a row-wise transform to the oracle's final state."""
+    out = {}
+    for k, row in state.items():
+        r = transform(dict(row))
+        if r is not None:
+            out[k] = r
+    return out
+
+
+def engine_rows(table, key_of) -> dict:
+    return {key_of(r): r for r in table.to_pylist()}
+
+
+def run(tmp_path, **replay_kw):
+    events_dir = materialize_events(CFG, root=str(tmp_path / "ev"), shards=4)
+    out = str(tmp_path / "lake")
+    cdc.replay(events_dir, out, num_partitions=8, **replay_kw)
+    return cdc.lake_table(out), events_dir
+
+
+def test_rule_projection_rename_defaults(tmp_path):
+    rule = RuleConfig(
+        include_columns="repo,path,content",
+        column_mappings="content=body",
+        default_column_values="source=binlog",
+    )
+    engine, _ = run(tmp_path, rule_config=rule)
+    assert engine.column_names == ["repo", "path", "body", "source"]
+
+    ora = oracle.replay_full(generate(CFG).table)
+
+    def tf(row):
+        return {
+            "repo": row["repo"],
+            "path": row["path"],
+            "body": row["content"],
+            "source": "binlog",
+        }
+
+    expected = oracle_rule_rows(ora, tf)
+    got = engine_rows(engine, lambda r: r["repo"] + r["path"])
+    assert got == {oracle.composite_key(v["repo"], v["path"]): v for v in expected.values()}
+
+
+def test_rule_camel_case_policy(tmp_path):
+    rule = RuleConfig(column_underscore_to_camel=True, exclude_columns="stars")
+    engine, _ = run(tmp_path, rule_config=rule)
+    assert engine.column_names == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_udf_filter_keeps_prior_state(tmp_path):
+    """A UDF that drops markdown rows per EVENT: the sink simply never sees
+    them, so a key whose last event is filtered keeps its previous visible
+    state — the reference's Lua-filter semantics (events skipped, not
+    tombstoned)."""
+
+    def udf(row, old, action, ctx):
+        if row["lang"] == "markdown":
+            return None
+        return row
+
+    engine, _ = run(tmp_path, rule_config=RuleConfig(), udf=udf)
+    assert "markdown" not in set(engine.column("lang").to_pylist())
+
+    # oracle: apply the same filter per event during sequential replay
+    ev = generate(CFG).table
+    langs = [
+        (a or {}).get("lang") for a in ev.column("after").to_pylist()
+    ]
+    import numpy as np
+
+    keep = pc.or_(
+        pc.equal(ev.column("op"), "delete"),
+        pc.not_equal(
+            pc.fill_null(pc.struct_field(ev.column("after"), "lang"), ""),
+            "markdown",
+        ),
+    )
+    # filtering update/insert events for markdown rows; deletes stay
+    filtered = ev.filter(keep)
+    ora = oracle.replay_full(filtered)
+    ora = {k: v for k, v in ora.items() if v["lang"] != "markdown"}
+    eng = engine_rows(engine, lambda r: r["repo"] + r["path"])
+    assert set(eng) == set(ora)
+    for k in ora:
+        assert eng[k]["commit"] == ora[k]["commit"]
+
+
+def test_udf_lookup_enrichment(tmp_path):
+    lookup = {"python": "dynamic", "go": "static", "rust": "static"}
+
+    def udf(row, old, action, ctx):
+        row = dict(row)
+        row["typing"] = ctx.lookup.get(row["lang"], "unknown")
+        return row
+
+    engine, _ = run(tmp_path, rule_config=RuleConfig(), udf=udf, lookup=lookup)
+    assert "typing" in engine.column_names
+    got = dict(zip(engine.column("lang").to_pylist(), engine.column("typing").to_pylist()))
+    assert got["python"] == "dynamic" and got["go"] == "static"
+
+
+def test_message_sink_envelope(tmp_path):
+    events_dir = materialize_events(CFG, root=str(tmp_path / "ev"), shards=4)
+    rule = RuleConfig(include_columns="repo,path,lang", reserve_raw_data=True)
+    msgs = message_sink.message_stream(events_dir, rule).take_all()
+    ev = generate(CFG).table
+    n_events = ev.num_rows - 1  # minus the DDL row
+    assert len(msgs) == n_events
+
+    by_action = {}
+    for m in msgs:
+        env = json.loads(m["value"])
+        by_action.setdefault(env["action"], env)
+        assert set(env).issubset({"action", "timestamp", "raw", "date"})
+        assert isinstance(env["date"], dict)
+        assert set(env["date"]) == {"repo", "path", "lang"}
+        # struct field order parity: action, timestamp, [raw], date
+        keys = list(json.loads(m["value"]).keys())
+        assert keys[0] == "action" and keys[-1] == "date"
+        if env["action"] == "update":
+            assert "raw" in env and set(env["raw"]) == {"repo", "path", "lang"}
+        else:
+            assert "raw" not in env
+    assert {"insert", "update", "delete"} <= set(by_action)
+
+
+def test_message_sink_kv_encoder(tmp_path):
+    events_dir = materialize_events(CFG, root=str(tmp_path / "ev"), shards=4)
+    rule = RuleConfig(include_columns="repo,lang", value_encoder="kv-commas")
+    msgs = message_sink.message_stream(events_dir, rule).take(5)
+    for m in msgs:
+        env = json.loads(m["value"])
+        date = env["date"]
+        assert isinstance(date, str) and date.startswith("repo=")
+        assert ",lang=" in date
