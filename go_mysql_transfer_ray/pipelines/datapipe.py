@@ -1,0 +1,426 @@
+"""Training-data pipeline operators over Ray Data: dedup, similarity, text.
+
+These are the large-scale data-processing additions (build brief: "the
+operations a large-scale training-data pipeline would need"), built on the
+same engine idioms as the CDC path: vectorized kernels inside
+``map_batches``, sketches computed per batch and merged via small groupbys,
+broadcast small sides, and no full materialization of the corpus.
+
+Scale notes per operator:
+
+* exact dedup — hash in map_batches, ``groupby(hash)`` moves (hash, id)
+  pairs only when ``payload=False``;
+* MinHash-LSH — the shuffle carries (band, bucket, doc_id) triples (tiny);
+  candidate verification uses signature agreement (no second text pass);
+  connected components run on the driver over the *candidate pair set*,
+  which is orders of magnitude smaller than the corpus (documented
+  assumption — for adversarial corpora swap in the iterative min-label
+  groupby);
+* ANN — query matrix broadcast via ``ray.put`` once; each batch does one
+  numpy matmul; top-k per batch then a tiny global re-reduce.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions import sketch, text as textfn
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+
+
+def text_stats(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Quality/statistics columns appended to each document."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        stats = textfn.quality_score(batch.column(text_col))
+        out = batch.drop_columns([c for c in stats if c in batch.column_names])
+        for name, arr in stats.items():
+            out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def language_id(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column("pred_lang", textfn.lang_id(batch.column(text_col)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "fingerprint", textfn.winnow_fingerprint(batch.column(text_col))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Exact dedup: content-hash partition → keep the smallest id per hash.
+
+    Reference-free addition; the pattern is hash in ``map_batches`` (so the
+    shuffle key is a fixed-width uint64, not the document), then a grouped
+    first-row pick.  Output: the surviving rows (all original columns)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch.column(text_col).to_numpy(zero_copy_only=False), categorize=False
+        )
+        return batch.append_column("_h", pa.array(h.astype(np.uint64)))
+
+    def pick_min(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        return group.take(idx[:1]).drop_columns(["_h"])
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("_h")
+        .map_groups(pick_min, batch_format="pyarrow")
+    )
+
+
+class MinHasher:
+    """Actor-pool stage: tokenize → shingle → minhash signature per doc."""
+
+    def __init__(self, text_col="text", id_col="doc_id", num_perm=128, k=5, seed=7):
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.k, self.seed = num_perm, k, seed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(batch.column(self.text_col))
+        sh, soff = textfn.shingle_hashes(flat, off, k=self.k)
+        sig = sketch.minhash_signatures(sh, soff, self.num_perm, self.seed)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.reshape(-1).astype(np.uint64)), self.num_perm
+                ),
+            }
+        )
+
+
+def minhash_signatures_ds(
+    ds: "ray.data.Dataset",
+    text_col="text",
+    id_col="doc_id",
+    num_perm=128,
+    k=5,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col, num_perm=num_perm, k=k
+        ),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+    )
+
+
+def minhash_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 32,
+    k: int = 5,
+    threshold: float = 0.8,
+) -> pa.Table:
+    """MinHash + banding LSH near-dup clustering.
+
+    Returns a pa.Table ``(doc_id, cluster_id)`` covering every document,
+    ``cluster_id`` = min doc_id of its near-dup component.  Candidate pairs
+    come from shared (band, bucket); verification = signature agreement ≥
+    threshold; components via driver-side union-find over verified pairs.
+    """
+    sigs = minhash_signatures_ds(ds, text_col, id_col, num_perm, k)
+
+    def explode_bands(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        sig = np.stack(batch.column("sig").to_numpy(zero_copy_only=False))
+        bk = sketch.band_keys(sig.astype(np.uint64), bands=bands)
+        n, B = bk.shape
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(B, dtype=np.int32), n)),
+                "bucket": pa.array(bk.reshape(-1)),
+                id_col: pa.array(np.repeat(ids, B)),
+            }
+        )
+
+    sigs_mat = sigs.materialize()  # reused: band explode + verification lookup
+    banded = sigs_mat.map_batches(explode_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    pairs = (
+        banded.groupby(["band", "bucket"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    # verification: signature agreement (minhash Jaccard estimate)
+    sig_tab = sigs_mat.to_pandas()
+    sig_map = {
+        int(i): np.asarray(s, dtype=np.uint64)
+        for i, s in zip(sig_tab[id_col], sig_tab["sig"])
+    }
+    if len(pairs):
+        sa = np.stack([sig_map[int(x)] for x in pairs["a"]])
+        sb = np.stack([sig_map[int(x)] for x in pairs["b"]])
+        sim = sketch.minhash_similarity(sa, sb)
+        pairs = pairs[sim >= threshold]
+
+    # union-find over verified pairs (assumption: |pairs| << corpus)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    all_ids = sorted(sig_map)
+    clusters = [find(i) for i in all_ids]
+    return pa.table(
+        {id_col: pa.array(all_ids, pa.int64()), "cluster_id": pa.array(clusters, pa.int64())}
+    )
+
+
+def simhash_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> pa.Table:
+    """SimHash near-dup clustering: 64-bit simhash, 4-block pigeonhole
+    banding (any pair within 3 bit flips shares a block), Hamming verify,
+    driver union-find.  Returns (doc_id, simhash_hex, cluster_id)."""
+
+    def add_simhash(batch: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(batch.column(text_col))
+        h = sketch.simhash64(flat, off)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "simhash": pa.array(h),
+            }
+        )
+
+    hashed = ds.map_batches(add_simhash, batch_format="pyarrow").to_pandas()
+    ids = hashed[id_col].to_numpy()
+    hs = hashed["simhash"].to_numpy().astype(np.uint64)
+    blocks = sketch.simhash_band_keys(hs, blocks=4)
+
+    cand = {}
+    for blk in range(blocks.shape[1]):
+        df = pd.DataFrame({"key": blocks[:, blk], "id": ids, "h": hs})
+        for _, grp in df.groupby("key"):
+            if len(grp) < 2:
+                continue
+            gi = grp["id"].to_numpy()
+            gh = grp["h"].to_numpy().astype(np.uint64)
+            ii, jj = np.triu_indices(len(gi), 1)
+            d = sketch.hamming64(gh[ii], gh[jj])
+            ok = d <= max_hamming
+            for a, b in zip(gi[ii][ok], gi[jj][ok]):
+                cand[(int(min(a, b)), int(max(a, b)))] = True
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in cand:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    order = np.argsort(ids)
+    return pa.table(
+        {
+            id_col: pa.array(ids[order].astype(np.int64)),
+            "simhash": pa.array([f"{h:016x}" for h in hs[order]], pa.string()),
+            "cluster_id": pa.array([find(int(i)) for i in ids[order]], pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+
+
+class BruteForceTopK:
+    """Actor-pool ANN stage: queries broadcast once, one matmul per batch.
+
+    Emits each batch's local top-k per query; a tiny driver-side re-reduce
+    yields the global top-k — the canonical broadcast + partial-reduce
+    pattern (no shuffle of the embedding corpus)."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        q = ray.get(queries_ref)
+        self.q = np.asarray(q, dtype=np.float32)
+        self.qn = self.q / np.maximum(
+            np.linalg.norm(self.q, axis=1, keepdims=True), 1e-12
+        )
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        mat = np.stack(batch.column(self.vec_col).to_numpy(zero_copy_only=False)).astype(
+            np.float32
+        )
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = self.qn @ mat.T  # (Q, n)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(np.arange(sims.shape[0]), k)
+        flat_idx = top.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q.astype(np.int64)),
+                "neighbor_id": pa.array(ids[flat_idx].astype(np.int64)),
+                "cosine": pa.array(sims[rows_q, flat_idx].astype(np.float64)),
+            }
+        )
+
+
+def ann_topk(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Global top-k cosine neighbors per query (brute force, exact)."""
+    qref = ray.put(np.asarray(queries))
+    partials = ds.map_batches(
+        BruteForceTopK,
+        fn_constructor_args=(qref, k, id_col, vec_col),
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+    ).to_pandas()
+    out = []
+    for qid, grp in partials.groupby("query_id"):
+        # deterministic: cosine desc, then neighbor id asc
+        g = grp.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        out.append(g)
+    return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+
+def lsh_bucketed_ann(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    planes: int | None = None,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+) -> pa.Table:
+    """Approximate variant: random-hyperplane LSH buckets; only buckets
+    matching a query (exact bucket, plus all single-bit-flip neighbors when
+    ``probes > 1``) are scanned.  The scale path when the corpus no longer
+    fits a per-batch matmul budget.
+
+    ``planes=None`` sizes the hash so buckets average ~64 vectors —
+    ``log2(n/64)`` — which keeps scanned-candidate volume roughly constant
+    as the corpus grows."""
+    q = np.asarray(queries, dtype=np.float32)
+    if planes is None:
+        n = ds.count()
+        planes = max(3, int(np.log2(max(n, 128) / 64.0)))
+    rng = np.random.RandomState(seed)
+    dim = q.shape[1]
+    H = rng.normal(size=(dim, planes)).astype(np.float32)
+
+    def bucket_of(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ H) > 0
+        out = np.zeros(len(mat), dtype=np.int64)
+        for i in range(planes):
+            out |= bits[:, i].astype(np.int64) << i
+        return out
+
+    qb = bucket_of(q)
+    wanted = set(int(b) for b in qb)
+    if probes > 1:
+        for b in list(wanted):
+            for i in range(planes):
+                wanted.add(b ^ (1 << i))
+    wanted_arr = np.fromiter(wanted, dtype=np.int64)
+    wanted_ref = ray.put(wanted_arr)
+
+    def filter_buckets(batch: pa.Table) -> pa.Table:
+        mat = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+            np.float32
+        )
+        b = bucket_of(mat)
+        keep = np.isin(b, ray.get(wanted_ref))
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(filter_buckets, batch_format="pyarrow")
+    return ann_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def embedding_dedup(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Embedding-cosine near-dup pairs: normalized matmul per block pair.
+
+    Small-side broadcast: the corpus is materialized once to a matrix ref
+    (valid while embeddings fit the object store — the near-dup use case);
+    returns pairs (a, b, cosine ≥ threshold), a < b."""
+    tab = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids = tab[id_col].to_numpy().astype(np.int64)
+    mat = np.stack(tab[vec_col].to_numpy()).astype(np.float32)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = mat @ mat.T
+    ii, jj = np.where(np.triu(sims >= threshold, 1))
+    order = np.lexsort((ids[jj], ids[ii]))
+    return pa.table(
+        {
+            "a": pa.array(ids[ii][order]),
+            "b": pa.array(ids[jj][order]),
+            "cosine": pa.array(sims[ii, jj][order].astype(np.float64)),
+        }
+    )

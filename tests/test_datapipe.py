@@ -1,0 +1,157 @@
+"""Text-analysis, dedup and similarity operators over the testdata tables."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from go_mysql_transfer_ray.functions import sketch, text as textfn
+from go_mysql_transfer_ray.pipelines import datapipe
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_count_matches_python():
+    texts = pa.array(["a b  c", "", "  x ", "one"])
+    out = textfn.token_count(texts).to_pylist()
+    assert out == [len(t.split()) for t in ["a b  c", "", "  x ", "one"]]
+
+
+def test_quality_score_bounds(docs):
+    out = datapipe.text_stats(docs).take(20)
+    for r in out:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_tokens"] > 0
+        assert r["n_chars"] == len(r["text"])
+
+
+def test_lang_id_english_corpus(docs):
+    out = datapipe.language_id(docs).take(100)
+    preds = [r["pred_lang"] for r in out]
+    assert preds.count("en") > 50  # corpus is english-ish
+
+
+def test_fingerprint_stability_and_edit_robustness():
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = base.replace("lazy", "sleepy", 1)
+    different = "completely other words entirely disjoint content " * 20
+    fp = textfn.winnow_fingerprint(pa.array([base, base, edited, different])).to_pylist()
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[3]
+
+
+def test_shingle_hashes_short_docs():
+    flat, off = textfn.hash_tokens(pa.array(["a b", "x y z w v u", ""]))
+    sh, soff = textfn.shingle_hashes(flat, off, k=5)
+    lens = np.diff(soff)
+    assert lens[0] == 1  # short doc: one partial shingle
+    assert lens[1] == 2  # 6 tokens, k=5 → 2 shingles
+    assert lens[2] == 0
+
+
+def test_minhash_similarity_tracks_jaccard():
+    a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 " * 10
+    b = a.replace("w3", "zz")  # high overlap
+    c = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 " * 10
+    flat, off = textfn.hash_tokens(pa.array([a, b, c]))
+    sh, soff = textfn.shingle_hashes(flat, off, k=3)
+    sig = sketch.minhash_signatures(sh, soff, num_perm=128)
+    sim_ab = sketch.minhash_similarity(sig[0], sig[1])
+    sim_ac = sketch.minhash_similarity(sig[0], sig[2])
+    assert sim_ab > 0.5 > sim_ac
+    assert sim_ac < 0.1
+
+
+def test_simhash_hamming():
+    a = np.array([0b1111, 0xFFFF_FFFF_FFFF_FFFF], dtype=np.uint64)
+    b = np.array([0b0111, 0x0], dtype=np.uint64)
+    assert sketch.hamming64(a, b).tolist() == [1, 64]
+
+
+def test_exact_dedup(docs):
+    # duplicate the corpus → dedup must return exactly the originals
+    dup = docs.union(docs)
+    out = datapipe.exact_dedup(dup).to_pandas()
+    base = docs.to_pandas()
+    assert len(out) == base["text"].nunique()
+    assert set(out["doc_id"]) <= set(base["doc_id"])
+
+
+def test_minhash_dedup_finds_planted_near_dups():
+    rows = []
+    for i in range(40):
+        words = " ".join(f"tok{i}_{j}" for j in range(60))
+        rows.append({"doc_id": i, "text": words})
+    # plant near-dups of doc 0 and doc 1
+    rows.append({"doc_id": 100, "text": rows[0]["text"].replace("tok0_5 ", "CHANGED ")})
+    rows.append({"doc_id": 101, "text": rows[1]["text"]})
+    ds = ray.data.from_items(rows)
+    out = datapipe.minhash_dedup(ds, threshold=0.6).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[100] == cl[0] == 0
+    assert cl[101] == cl[1] == 1
+    assert cl[2] == 2  # unrelated doc stays alone
+
+
+def test_simhash_dedup_clusters_exact_copies():
+    rows = [{"doc_id": i, "text": " ".join(f"w{i}_{j}" for j in range(80))} for i in range(20)]
+    rows.append({"doc_id": 50, "text": rows[3]["text"]})
+    ds = ray.data.from_items(rows)
+    out = datapipe.simhash_dedup(ds).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[50] == cl[3] == 3
+
+
+def test_ann_topk_exact_vs_numpy(emb):
+    tab = emb.to_pandas()
+    mat = np.stack(tab["embedding"].to_numpy()).astype(np.float32)
+    ids = tab["vec_id"].to_numpy()
+    queries = mat[:3]
+    out = datapipe.ann_topk(emb, queries, k=5).to_pandas()
+    # reference numpy computation
+    nm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    nq = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sims = nq @ nm.T
+    for q in range(3):
+        got = out[out["query_id"] == q].sort_values("rank")["neighbor_id"].tolist()
+        order = np.lexsort((ids, -sims[q]))
+        expect = ids[order][:5].tolist()
+        assert got == expect
+    # top hit of query q is the vector itself (cosine 1)
+    top1 = out[(out["query_id"] == 0) & (out["rank"] == 1)]
+    assert np.isclose(top1["cosine"].iloc[0], 1.0, atol=1e-5)
+
+
+def test_lsh_ann_recall(emb):
+    tab = emb.to_pandas()
+    mat = np.stack(tab["embedding"].to_numpy()).astype(np.float32)
+    queries = mat[:5]
+    exact = datapipe.ann_topk(emb, queries, k=10).to_pandas()
+    approx = datapipe.lsh_bucketed_ann(emb, queries, k=10).to_pandas()
+    recalls = []
+    for q in range(5):
+        e = set(exact[exact["query_id"] == q]["neighbor_id"])
+        a = set(approx[approx["query_id"] == q]["neighbor_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) > 0.3  # approximate, but must find a chunk
+
+
+def test_embedding_dedup_pairs(emb):
+    # planting an exact duplicate vector guarantees a pair at cosine 1
+    tab = emb.to_pandas().head(50)
+    dup = tab.iloc[[0]].assign(vec_id=999)
+    import pandas as pd
+
+    ds = ray.data.from_pandas(pd.concat([tab, dup], ignore_index=True))
+    out = datapipe.embedding_dedup(ds, threshold=0.999).to_pandas()
+    assert ((out["a"] == 0) & (out["b"] == 999)).any()
