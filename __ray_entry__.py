@@ -1,44 +1,540 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay (synthetic binlog over a
+repos-shaped base table derived from sf0.001) and returns the converged
+lake table.  ``queries()`` exposes one callable per implemented operator
+family (SURVEY.md §2 + the training-data additions); ``oracle_sql()`` gives
+the DuckDB-checkable subset.  Ray is initialised by the caller — nothing
+here calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column-name discipline: every computed column is named identically in the
+Ray pipeline and the SQL so the driver's order-insensitive value-hash
+compare lines up.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from go_mysql_transfer_ray.functions import text as textfn
+from go_mysql_transfer_ray.functions.coerce import ColumnSpec
+from go_mysql_transfer_ray.pipelines import cdc, datapipe, message_sink, multimodal
+from go_mysql_transfer_ray.rules import RuleConfig, RulePlan
+from go_mysql_transfer_ray.sources.binlog import BinlogConfig, materialize_events
+from go_mysql_transfer_ray.stages.merge import merged_dataset
+
+_EVENT_CACHE_ROOT = "/tmp/gmt_ray_entry_events"
+_LAKE_ROOT = "/tmp/gmt_ray_entry_lake"
+
+
+def _binlog_cfg(sf_dir: str) -> BinlogConfig:
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return BinlogConfig(
+        num_keys=max(200, n_docs * 4),
+        avg_events_per_key=4.0,
+        delete_pct=12,
+        hot_repos=1,
+        hot_multiplier=8,
+        bad_arity_permille=5,
+    )
+
+
+def _replay(sf_dir: str) -> pa.Table:
+    cfg = _binlog_cfg(sf_dir)
+    events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
+    out = os.path.join(_LAKE_ROOT, cfg.fingerprint())
+    cdc.replay(events_dir, out, num_partitions=32)
+    return cdc.lake_table(out)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: binlog replay → lake."""
+    return _replay("/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each takes sf_dir)
+
+
+def _events(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def q_cdc_replay_repos(sf_dir: str) -> pa.Table:
+    """Flagship: full CDC replay (decode → merge → lake) on synthetic binlog."""
+    return _replay(sf_dir)
+
+
+def q_cdc_last_state_per_user(sf_dir: str) -> pa.Table:
+    """The merge operator applied to the events table as a change stream:
+    'error' = delete, anything else = upsert; order by event_id (J3/A3)."""
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t.column("user_id"), pa.string()),
+                "gtid": t.column("event_id"),
+                "seq_in_txn": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int32), pa.int32()
+                ),
+                "op": pc.if_else(
+                    pc.equal(t.column("event_type"), "error"),
+                    pa.scalar("delete"),
+                    pa.scalar("insert"),
+                ),
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+
+    ds = _events(sf_dir).map_batches(to_changes, batch_format="pyarrow")
+    return merged_dataset(
+        ds, num_partitions=16, final_columns=["user_id", "event_id", "event_type", "value"]
+    )
+
+
+def q_metrics_action_counts(sf_dir: str):
+    """Per-action counters (T10/A1 metrics parity)."""
+    return (
+        _events(sf_dir)
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def q_stock_projection_rule(sf_dir: str):
+    """Stock import (S5) + rule projection/rename/default (M2/M3/M5)."""
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name,c_mktsegment",
+            column_mappings="c_name=name",
+            default_column_values="source=stock",
+            primary_keys=("c_custkey",),
+        ),
+        [
+            ColumnSpec("c_custkey", "number"),
+            ColumnSpec("c_name", "string"),
+            ColumnSpec("c_nationkey", "number"),
+            ColumnSpec("c_acctbal", "float"),
+            ColumnSpec("c_mktsegment", "string"),
+        ],
+    )
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    return ds.map_batches(plan.apply, batch_format="pyarrow")
+
+
+def q_composite_key_lineitem(sf_dir: str):
+    """Composite-key construction (M9): separator-less stringified concat."""
+    plan = RulePlan(
+        RuleConfig(primary_keys=("l_orderkey", "l_linenumber")),
+        [ColumnSpec("l_orderkey", "number"), ColumnSpec("l_linenumber", "number")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t.column("l_orderkey"),
+                "l_linenumber": t.column("l_linenumber"),
+                "key": plan.build_key(t),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber"],
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_value_encoder_kv(sf_dir: str):
+    """kv-commas value encoder (M8) over the customer table."""
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name",
+            value_encoder="kv-commas",
+            primary_keys=("c_custkey",),
+        ),
+        [ColumnSpec("c_custkey", "number"), ColumnSpec("c_name", "string")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        proj = plan.apply(t)
+        return pa.table(
+            {"c_custkey": t.column("c_custkey"), "encoded": plan.encode_values(proj)}
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_value_encoder_json(sf_dir: str):
+    """json value encoder (M8): Go-style sorted-key compact JSON."""
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name",
+            value_encoder="json",
+            primary_keys=("c_custkey",),
+        ),
+        [ColumnSpec("c_custkey", "number"), ColumnSpec("c_name", "string")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        proj = plan.apply(t)
+        return pa.table(
+            {"c_custkey": t.column("c_custkey"), "encoded": plan.encode_values(proj)}
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_events_filter_project(sf_dir: str):
+    """Table filter + projection pushdown (S2/M2)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t.column("event_type"), "purchase"),
+            pc.greater(t.column("value"), 100.0),
+        )
+        return t.filter(keep)
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        .map_batches(fn, batch_format="pyarrow")
+        .select_columns(["event_id", "user_id", "value"])
+    )
+
+
+def q_lookup_join_nation(sf_dir: str):
+    """Broadcast lookup join (J1/T4 dbOps analogue): user_id%25 → nation."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    lookup = dict(
+        zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    )
+    lookup_ref = ray.put(lookup)
+
+    class Enrich:
+        def __init__(self):
+            self.lut = ray.get(lookup_ref)
+            keys = np.fromiter(self.lut.keys(), dtype=np.int64)
+            vals = np.array([self.lut[k] for k in keys], dtype=object)
+            self.max_key = int(keys.max()) + 1
+            self.table = np.empty(self.max_key, dtype=object)
+            self.table[keys] = vals
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t.column("user_id").to_numpy(zero_copy_only=False)
+            names = self.table[uid % 25]
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "user_id": t.column("user_id"),
+                    "n_name": pa.array(names, pa.string()),
+                }
+            )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    ).map_batches(Enrich, concurrency=(1, 4), batch_format="pyarrow")
+
+
+def q_tpch_q1ish(sf_dir: str):
+    """Wide aggregate with block-local pre-aggregation (the combiner
+    pattern from SURVEY §7.4): sums kept exact via integer cents."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": t.column("l_returnflag").to_pandas(),
+                "l_linestatus": t.column("l_linestatus").to_pandas(),
+                "qty": t.column("l_quantity").to_numpy(),
+                "cents": np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(
+                    np.int64
+                ),
+            }
+        )
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("qty", "sum"), price_cents=("cents", "sum"), n=("qty", "size"))
+            .reset_index()
+        )
+        g["sum_qty"] = g["sum_qty"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="price_cents"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+def q_doc_token_counts(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_tokens": textfn.token_count(t.column("text")),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    def fn(t: pa.Table) -> pa.Table:
+        s = textfn.quality_score(t.column("text"))
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars": s["n_chars"],
+                "n_tokens": s["n_tokens"],
+                "n_punct": s["n_punct"],
+                "punct_ratio": s["punct_ratio"],
+                "mean_tok_len": s["mean_tok_len"],
+                "quality": s["quality"],
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    return datapipe.exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
+
+
+def q_group_lang_stats(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "lang": t.column("lang").to_pandas(),
+                "chars": t.column("n_chars").to_numpy(),
+            }
+        )
+        g = (
+            df.groupby("lang", sort=False)
+            .agg(n_docs=("chars", "size"), total_chars=("chars", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        _docs(sf_dir)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+    )
+
+
+# -- rows-only (non-SQL-expressible) ----------------------------------------
+
+
+def q_lang_id(sf_dir: str):
+    return datapipe.language_id(_docs(sf_dir)).select_columns(["doc_id", "pred_lang"])
+
+
+def q_fingerprints(sf_dir: str):
+    return datapipe.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
+
+
+def q_minhash_dedup(sf_dir: str) -> pa.Table:
+    return datapipe.minhash_dedup(_docs(sf_dir))
+
+
+def q_simhash_dedup(sf_dir: str) -> pa.Table:
+    return datapipe.simhash_dedup(_docs(sf_dir))
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).slice(0, 4)
+    queries = np.stack(head.column("embedding").to_pylist())
+    return datapipe.ann_topk(emb, queries, k=10)
+
+
+def q_ann_lsh(sf_dir: str) -> pa.Table:
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 4)
+    queries = np.stack(head.column("embedding").to_pylist())
+    return datapipe.lsh_bucketed_ann(emb, queries, k=10)
+
+
+def q_embedding_dedup(sf_dir: str) -> pa.Table:
+    """The synthetic embeddings have no natural near-dups (max pairwise
+    cosine ≈ 0.5), so plant exact duplicates of the first 20 vectors
+    (vec_id + 1_000_000) — the operator must find exactly those pairs."""
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    dup = tab.slice(0, 20).set_column(
+        0, "vec_id", pc.add(tab.slice(0, 20).column("vec_id"), 1_000_000)
+    )
+    emb = ray.data.from_arrow(pa.concat_tables([tab, dup]))
+    return datapipe.embedding_dedup(emb, threshold=0.95)
+
+
+def q_message_envelopes(sf_dir: str):
+    cfg = _binlog_cfg(sf_dir)
+    events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
+    return message_sink.message_stream(
+        events_dir, RuleConfig(include_columns="repo,path,lang", reserve_raw_data=True)
+    )
+
+
+def q_media_features(sf_dir: str):
+    tab = multimodal.synthetic_media_table(n=120)
+    return multimodal.media_features(ray.data.from_arrow(tab))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "cdc_replay_repos": q_cdc_replay_repos,
+        "cdc_last_state_per_user": q_cdc_last_state_per_user,
+        "metrics_action_counts": q_metrics_action_counts,
+        "stock_projection_rule": q_stock_projection_rule,
+        "composite_key_lineitem": q_composite_key_lineitem,
+        "value_encoder_kv": q_value_encoder_kv,
+        "value_encoder_json": q_value_encoder_json,
+        "events_filter_project": q_events_filter_project,
+        "lookup_join_nation": q_lookup_join_nation,
+        "tpch_q1ish": q_tpch_q1ish,
+        "doc_token_counts": q_doc_token_counts,
+        "doc_quality": q_doc_quality,
+        "dedup_exact": q_dedup_exact,
+        "group_lang_stats": q_group_lang_stats,
+        "lang_id": q_lang_id,
+        "fingerprints": q_fingerprints,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_dedup": q_embedding_dedup,
+        "message_envelopes": q_message_envelopes,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_last_state_per_user": """
+            WITH ranked AS (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT user_id, event_id, event_type, value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "metrics_action_counts": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "stock_projection_rule": """
+            SELECT c_custkey, c_name AS name, c_mktsegment, 'stock' AS source
+            FROM customer
+        """,
+        "composite_key_lineitem": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR) AS key
+            FROM lineitem
+        """,
+        "value_encoder_kv": """
+            SELECT c_custkey,
+                   'c_custkey=' || CAST(c_custkey AS VARCHAR) || ',c_name=' || c_name AS encoded
+            FROM customer
+        """,
+        "value_encoder_json": """
+            SELECT c_custkey,
+                   '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_name":"' || c_name || '"}' AS encoded
+            FROM customer
+        """,
+        "events_filter_project": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'purchase' AND value > 100.0
+        """,
+        "lookup_join_nation": """
+            SELECT e.event_id, e.user_id, n.n_name
+            FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        """,
+        "tpch_q1ish": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\s+'))
+                   END AS n_tokens
+            FROM documents
+        """,
+        "doc_quality": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE array_length(string_split_regex(trim(text), '\s+'))
+                   END AS n_tokens,
+                   length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS n_punct,
+                   CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) AS punct_ratio,
+                   CAST(GREATEST(length(text), 1) AS DOUBLE)
+                       / GREATEST(CASE WHEN trim(text) = '' THEN 0
+                                       ELSE array_length(string_split_regex(trim(text), '\s+'))
+                                  END, 1) AS mean_tok_len,
+                   0.5 * LEAST(CAST(length(text) AS DOUBLE) / 400.0, 1.0)
+                   + 0.2 * LEAST(CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}]', '', 'g')) AS DOUBLE)
+                                 / GREATEST(length(text), 1) * 10.0, 1.0)
+                   + 0.3 * (CASE WHEN CAST(GREATEST(length(text), 1) AS DOUBLE)
+                                      / GREATEST(CASE WHEN trim(text) = '' THEN 0
+                                                      ELSE array_length(string_split_regex(trim(text), '\s+'))
+                                                 END, 1) BETWEEN 3.0 AND 12.0
+                                 THEN 1.0 ELSE 0.0 END) AS quality
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "group_lang_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY lang
+        """,
+    }

@@ -100,6 +100,23 @@ class Combiner:
 INTERNAL_COLUMNS = ("key", "gtid", "seq_in_txn", "op", "pos", "ts", "before", "_part")
 
 
+def merged_dataset(
+    ds, num_partitions: int, final_columns: list[str] | None = None
+):
+    """The merge plan as a Dataset → Dataset transform (no lake write).
+
+    Input needs columns (key, gtid, seq_in_txn, op, payload...).  Used by
+    generic keyed-upsert pipelines (e.g. last-state-per-key over an events
+    table) that want the CDC merge semantics without manifests."""
+    import functools
+
+    combined = ds.map_batches(
+        Combiner(num_partitions), batch_format="pyarrow"
+    )
+    fm = functools.partial(final_merge, final_columns=final_columns)
+    return combined.groupby("_part").map_groups(fm, batch_format="pyarrow")
+
+
 def final_merge(group: pa.Table, *, final_columns: list[str] | None) -> pa.Table:
     """Per-partition finalize: reduce partials, drop tombstones, project.
 
