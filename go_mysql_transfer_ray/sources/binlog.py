@@ -33,6 +33,7 @@ not a global counter.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -40,6 +41,7 @@ from dataclasses import asdict, dataclass, field
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schema import DDL_TYPE, EVENT_SCHEMA, ROW_IMAGE_TYPE, TABLE_NAME
@@ -147,35 +149,108 @@ def _commit_hex(cfg: BinlogConfig, keys: np.ndarray, vers: np.ndarray) -> np.nda
     ).astype(object)
 
 
-def _content(cfg: BinlogConfig, repo, path, keys, vers) -> list[str]:
-    ln = (
-        cfg.content_bytes // 2
-        + (_h(cfg.seed, 21, keys, vers) % _U64(max(cfg.content_bytes, 1)))
+_N_CHUNKS = 512
+
+
+@functools.lru_cache(maxsize=8)
+def _chunk_dict(content_bytes: int) -> pa.Array:
+    """Deterministic corpus-chunk dictionary (per content size)."""
+    j = np.arange(_N_CHUNKS, dtype=np.int64)
+    ln = content_bytes // 2 + (
+        _h(content_bytes, 21, j) % _U64(max(content_bytes, 1))
     ).astype(np.int64)
-    off = (_h(cfg.seed, 22, keys, vers) % _U64(len(_CORPUS))).astype(np.int64)
-    return [
-        f"// {r}/{p}@v{v}\n" + _CORPUS2[o : o + l]
-        for r, p, v, o, l in zip(repo, path, vers, off, ln)
-    ]
+    off = (_h(content_bytes, 22, j) % _U64(len(_CORPUS))).astype(np.int64)
+    return pa.array(
+        [_CORPUS2[o : o + l] for o, l in zip(off, ln)], type=pa.string()
+    )
 
 
-def generate(cfg: BinlogConfig) -> GeneratedStream:
-    """Build the full event stream in memory (driver-side; vectorized)."""
-    K = cfg.num_keys
-    keys = np.arange(K, dtype=np.int64)
-    repo_id_k, repo_k, path_k, lang_k = _key_attrs(cfg, keys)
+def _content(
+    cfg: BinlogConfig, repo: pa.Array, path: pa.Array, keys, vers
+) -> pa.Array:
+    """Vectorized content payload: unique header + corpus chunk.
 
-    # --- events per key (hot repos multiplied) ---------------------------
+    Fully Arrow-kernel built (no Python loop) — generation must keep up
+    with the engine it feeds at millions of events."""
+    j = pa.array(
+        (_h(cfg.seed, 23, keys, vers) % _U64(_N_CHUNKS)).astype(np.int64)
+    )
+    chunk = pc.take(_chunk_dict(cfg.content_bytes), j)
+    ver_s = pa.array(np.char.mod("%d", np.asarray(vers)), type=pa.string())
+    return pc.binary_join_element_wise(
+        pa.scalar("// "), repo, pa.scalar("/"), path, pa.scalar("@v"),
+        ver_s, pa.scalar("\n"), chunk, "",
+    )
+
+
+def _key_counts(cfg: BinlogConfig, keys: np.ndarray) -> np.ndarray:
+    """Events per key (hot repos multiplied) — shard-local computable."""
+    repo_id_k = _key_attrs(cfg, keys)[0]
     avg_extra = max(cfg.avg_events_per_key - 1.0, 0.0)
     span = max(int(round(2 * avg_extra)), 0)
     extra = (
         (_h(cfg.seed, 31, keys) % _U64(span + 1)).astype(np.int64)
         if span
-        else np.zeros(K, dtype=np.int64)
+        else np.zeros(len(keys), dtype=np.int64)
     )
     hot = repo_id_k < cfg.hot_repos
     extra = np.where(hot, extra * cfg.hot_multiplier, extra)
-    c = 1 + extra
+    return 1 + extra
+
+
+def stream_size(cfg: BinlogConfig) -> int:
+    """Total change events for a config (cheap: int arrays only)."""
+    return int(_key_counts(cfg, np.arange(cfg.num_keys, dtype=np.int64)).sum())
+
+
+def _feistel(e: np.ndarray, n_total: int, seed: int) -> np.ndarray:
+    """Deterministic bijection [0, n_total) → [0, n_total), vectorized.
+
+    Cycle-walking balanced Feistel network — gives every event a unique
+    global stream slot WITHOUT a global argsort, so shard generation is
+    embarrassingly parallel (each key-range shard computes its own events'
+    positions independently; the property 10^10-event generation needs)."""
+    x = np.asarray(e, dtype=_U64)
+    bits = max(int(n_total - 1).bit_length(), 2)
+    half = (bits + 1) // 2
+    mask = _U64((1 << half) - 1)
+    hs = _U64(half)
+
+    def rounds(v: np.ndarray) -> np.ndarray:
+        left = v >> hs
+        right = v & mask
+        for r in range(4):
+            f = _h(seed, 101 + r, right) & mask
+            left, right = right, left ^ f
+        return (left << hs) | right
+
+    y = rounds(x)
+    oob = y >= _U64(n_total)
+    while oob.any():
+        y[oob] = rounds(y[oob])
+        oob = y >= _U64(n_total)
+    return y.astype(np.int64)
+
+
+def generate_shard(
+    cfg: BinlogConfig,
+    k0: int,
+    k1: int,
+    *,
+    e_offset: int,
+    n_total: int,
+    p0: int,
+) -> "tuple[pa.Table, int]":
+    """Events of keys [k0, k1) as one Arrow table (+ bad-arity count).
+
+    ``e_offset``: global key-major index of key k0's first event;
+    ``n_total``/``p0``: global stream size and DDL boundary (from
+    ``stream_size``).  Output is sorted by ``pos`` within the shard; global
+    order across shards is defined by ``pos`` alone.
+    """
+    keys = np.arange(k0, k1, dtype=np.int64)
+    repo_id_k, repo_k, path_k, lang_k = _key_attrs(cfg, keys)
+    c = _key_counts(cfg, keys)
     n = int(c.sum())
 
     key_idx = np.repeat(keys, c)
@@ -203,15 +278,15 @@ def generate(cfg: BinlogConfig) -> GeneratedStream:
     base = np.repeat(cs[starts] - nondel[starts], c)
     ver = cs - base - 1  # for DEL rows: version of the last alive image
 
-    # --- interleave ranks → global order (gtid, seq) ----------------------
-    draw = (_h(cfg.seed, 33, key_idx, ordinal) >> _U64(1)).astype(np.int64)
-    order_in_key = np.lexsort((draw, key_idx))
-    rank = draw[order_in_key]  # i-th smallest draw of each key → chain pos i
-    global_order = np.argsort(rank, kind="stable")
-    pos = np.empty(n, dtype=np.int64)
-    pos[global_order] = np.arange(n, dtype=np.int64)
+    # --- global stream slots via Feistel (shard-independent) --------------
+    e = e_offset + np.arange(n, dtype=np.int64)
+    pos_raw = _feistel(e, n_total, cfg.seed)
+    # within each key, ordinal i takes the i-th smallest assigned slot so
+    # the per-key chain respects stream order (lexsort reorders only inside
+    # each contiguous key block)
+    assign = np.lexsort((pos_raw, key_idx))
+    pos = pos_raw[assign]
 
-    p0 = int(n * cfg.ddl_at) // cfg.txn_size * cfg.txn_size  # DDL txn boundary
     post = pos >= p0
     gtid = pos // cfg.txn_size + post.astype(np.int64)
     seq = (pos % cfg.txn_size).astype(np.int32)
@@ -228,23 +303,6 @@ def generate(cfg: BinlogConfig) -> GeneratedStream:
     after_ver = ver
     before_ver = np.where(op == OP_UPD, ver - 1, ver)
 
-    commit_after = _commit_hex(cfg, key_idx, after_ver)
-    commit_before = _commit_hex(cfg, key_idx, before_ver)
-    content_after = _content(cfg, repo_e, path_e, key_idx, after_ver)
-    content_before = _content(cfg, repo_e, path_e, key_idx, before_ver)
-
-    # stars: raw string values, only present post-DDL (null before); a
-    # permille of values are unparsable → NUMBER-coercion null
-    # (/root/reference/service/endpoint/endpoint.go:180-197).
-    stars_num = (_h(cfg.seed, 41, key_idx, after_ver) % _U64(100_000)).astype(np.int64)
-    stars_bad = (_h(cfg.seed, 42, key_idx, after_ver) % _U64(1000)) < _U64(5)
-    stars_after = np.where(stars_bad, "notanumber", stars_num.astype(str)).astype(object)
-    stars_valid_after = post & has_after
-    bstars_num = (_h(cfg.seed, 41, key_idx, before_ver) % _U64(100_000)).astype(np.int64)
-    bstars_bad = (_h(cfg.seed, 42, key_idx, before_ver) % _U64(1000)) < _U64(5)
-    stars_before = np.where(bstars_bad, "notanumber", bstars_num.astype(str)).astype(object)
-    stars_valid_before = post & has_before
-
     # --- arity ------------------------------------------------------------
     col_count = np.where(post, 6, 5).astype(np.int32)
     bad = np.zeros(n, dtype=bool)
@@ -254,27 +312,41 @@ def generate(cfg: BinlogConfig) -> GeneratedStream:
         )
         col_count = np.where(bad, col_count + 1, col_count)
 
-    # --- assemble in global stream order ---------------------------------
-    g = global_order
+    # --- assemble in stream (pos) order (all Arrow kernels) ---------------
+    g = np.argsort(pos, kind="stable")
+    keys_g = key_idx[g]
+    repo_g = pa.array(repo_e[g], type=pa.string())
+    path_g = pa.array(path_e[g], type=pa.string())
+    lang_g = pa.array(lang_e[g], type=pa.string())
+    post_g = post[g]
 
-    def _img(mask, commits, contents, stars, stars_valid):
+    def _img(mask, vers):
+        """Masked row image; stars raw strings only post-DDL, a permille
+        unparsable → NUMBER-coercion null downstream
+        (/root/reference/service/endpoint/endpoint.go:180-197)."""
         m = mask[g]
+        m_pa = pa.array(m)
+        v = vers[g]
+        commit = pa.array(_commit_hex(cfg, keys_g, v), type=pa.string())
+        content = _content(cfg, repo_g, path_g, keys_g, v)
+        stars_num = (_h(cfg.seed, 41, keys_g, v) % _U64(100_000)).astype(np.int64)
+        stars_bad = (_h(cfg.seed, 42, keys_g, v) % _U64(1000)) < _U64(5)
+        stars = np.where(stars_bad, "notanumber", np.char.mod("%d", stars_num))
+        stars_pa = pc.if_else(
+            pa.array(m & post_g), pa.array(stars, type=pa.string()),
+            pa.scalar(None, pa.string()),
+        )
+        null_s = pa.scalar(None, pa.string())
         fields = [
-            pa.array(np.where(m, repo_e[g], None), type=pa.string()),
-            pa.array(np.where(m, path_e[g], None), type=pa.string()),
-            pa.array(np.where(m, commits[g], None), type=pa.string()),
-            pa.array(np.where(m, lang_e[g], None), type=pa.string()),
-            pa.array(
-                [contents[i] if mask[i] else None for i in g], type=pa.string()
-            ),
-            pa.array(
-                np.where(m & stars_valid[g], stars[g], None), type=pa.string()
-            ),
+            pc.if_else(m_pa, repo_g, null_s),
+            pc.if_else(m_pa, path_g, null_s),
+            pc.if_else(m_pa, commit, null_s),
+            pc.if_else(m_pa, lang_g, null_s),
+            pc.if_else(m_pa, content, null_s),
+            stars_pa,
         ]
         return pa.StructArray.from_arrays(
-            fields,
-            fields=list(ROW_IMAGE_TYPE),
-            mask=pa.array(~m),
+            fields, fields=list(ROW_IMAGE_TYPE), mask=pa.array(~m)
         )
 
     op_str = np.array(["insert", "update", "delete"], dtype=object)[op[g]]
@@ -287,16 +359,19 @@ def generate(cfg: BinlogConfig) -> GeneratedStream:
             "table": pa.array(np.full(n, TABLE_NAME, dtype=object), type=pa.string()),
             "ts": pa.array(ts[g], type=pa.timestamp("s")),
             "col_count": pa.array(col_count[g], type=pa.int32()),
-            "before": _img(has_before, commit_before, content_before, stars_before, stars_valid_before),
-            "after": _img(has_after, commit_after, content_after, stars_after, stars_valid_after),
+            "before": _img(has_before, before_ver),
+            "after": _img(has_after, after_ver),
             "ddl": pa.array([None] * n, type=DDL_TYPE),
         },
         schema=EVENT_SCHEMA,
     )
+    return tbl, int(bad.sum())
 
-    # --- the in-band DDL event (own transaction at the p0 boundary) -------
+
+def _ddl_row(cfg: BinlogConfig, p0: int) -> pa.Table:
+    """The in-band DDL event (its own transaction at the p0 boundary)."""
     ddl_gtid = p0 // cfg.txn_size
-    ddl_row = pa.table(
+    return pa.table(
         {
             "gtid": pa.array([ddl_gtid], type=pa.int64()),
             "seq_in_txn": pa.array([0], type=pa.int32()),
@@ -314,50 +389,113 @@ def generate(cfg: BinlogConfig) -> GeneratedStream:
         schema=EVENT_SCHEMA,
     )
 
-    # splice the DDL row at its stream position
-    full = pa.concat_tables([tbl.slice(0, p0), ddl_row, tbl.slice(p0)])
+
+def _ddl_boundary(cfg: BinlogConfig, n: int) -> int:
+    return int(n * cfg.ddl_at) // cfg.txn_size * cfg.txn_size
+
+
+def generate(cfg: BinlogConfig) -> GeneratedStream:
+    """Build the full event stream in memory (tests / small configs)."""
+    n = stream_size(cfg)
+    p0 = _ddl_boundary(cfg, n)
+    tbl, n_bad = generate_shard(
+        cfg, 0, cfg.num_keys, e_offset=0, n_total=n, p0=p0
+    )
+    # splice the DDL row at its stream position (tbl is pos-sorted 0..n-1)
+    full = pa.concat_tables([tbl.slice(0, p0), _ddl_row(cfg, p0), tbl.slice(p0)])
     return GeneratedStream(
         table=full,
         config=cfg,
         ddl_pos=p0,
-        ddl_gtid=ddl_gtid,
+        ddl_gtid=p0 // cfg.txn_size,
         num_change_events=n,
-        num_bad_arity=int(bad.sum()),
+        num_bad_arity=n_bad,
     )
+
+
+def _shard_key_ranges(cfg: BinlogConfig, shards: int):
+    """Split the key space into ≤``shards`` contiguous ranges of roughly
+    equal EVENT count; returns [(k0, k1, e_offset), ...]."""
+    c = _key_counts(cfg, np.arange(cfg.num_keys, dtype=np.int64))
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    targets = (np.arange(1, shards) * n) // shards
+    bounds = np.unique(np.searchsorted(cum, targets, side="left") + 1)
+    edges = [0, *[int(b) for b in bounds if 0 < b < cfg.num_keys], cfg.num_keys]
+    out = []
+    for k0, k1 in zip(edges[:-1], edges[1:]):
+        out.append((k0, k1, int(cum[k0 - 1]) if k0 else 0))
+    return out, n
+
+
+def _write_shard(
+    cfg: BinlogConfig,
+    k0: int,
+    k1: int,
+    e_offset: int,
+    n_total: int,
+    p0: int,
+    path: str,
+    include_ddl: bool,
+) -> "tuple[int, int]":
+    tbl, n_bad = generate_shard(
+        cfg, k0, k1, e_offset=e_offset, n_total=n_total, p0=p0
+    )
+    if include_ddl:
+        tbl = pa.concat_tables([_ddl_row(cfg, p0), tbl])
+    pq.write_table(tbl, path)
+    return tbl.num_rows, n_bad
 
 
 def materialize_events(
     cfg: BinlogConfig, root: str = "/tmp/gmt_ray_events", shards: int = 16
 ) -> str:
-    """Generate (once) and cache the stream as ordered Parquet shards.
+    """Generate (once) and cache the stream as Parquet shards.
 
-    Returns the shard directory.  Layout: ``events-{i:05d}.parquet`` in
-    stream order plus a ``_meta.json`` with the config and DDL facts —
-    the resumable-input contract (each shard is an ordered binlog segment).
+    Each shard covers a contiguous key range; global stream order is
+    defined by the ``pos`` column (Feistel slot), not by file order.  When
+    Ray is initialised, shards are generated in PARALLEL Ray tasks — the
+    same code path that would fan 10^10-event generation across a cluster
+    (and, in this sandbox, the only way around the VM's slow first-touch
+    page faults: they parallelize across worker processes).
     """
-    out = os.path.join(root, cfg.fingerprint())
+    out = os.path.join(root, f"{cfg.fingerprint()}-s{shards}")
     meta_path = os.path.join(out, "_meta.json")
     if os.path.exists(meta_path):
         return out
-    stream = generate(cfg)
+    ranges, n = _shard_key_ranges(cfg, shards)
+    p0 = _ddl_boundary(cfg, n)
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    t = stream.table
-    n = t.num_rows
-    shards = max(1, min(shards, n))
-    step = (n + shards - 1) // shards
-    for i in range(shards):
-        pq.write_table(
-            t.slice(i * step, step), os.path.join(tmp, f"events-{i:05d}.parquet")
+
+    jobs = [
+        (k0, k1, e_off, os.path.join(tmp, f"events-{i:05d}.parquet"), i == 0)
+        for i, (k0, k1, e_off) in enumerate(ranges)
+    ]
+    import ray
+
+    if ray.is_initialized() and len(jobs) > 1:
+        task = ray.remote(num_cpus=1)(_write_shard)
+        results = ray.get(
+            [
+                task.remote(cfg, k0, k1, e_off, n, p0, path, ddl)
+                for k0, k1, e_off, path, ddl in jobs
+            ]
         )
+    else:
+        results = [
+            _write_shard(cfg, k0, k1, e_off, n, p0, path, ddl)
+            for k0, k1, e_off, path, ddl in jobs
+        ]
+    n_bad = sum(r[1] for r in results)
     with open(os.path.join(tmp, "_meta.json"), "w") as f:
         json.dump(
             {
                 "config": asdict(cfg),
-                "ddl_pos": stream.ddl_pos,
-                "ddl_gtid": stream.ddl_gtid,
-                "num_change_events": stream.num_change_events,
-                "num_bad_arity": stream.num_bad_arity,
+                "ddl_pos": p0,
+                "ddl_gtid": p0 // cfg.txn_size,
+                "num_change_events": n,
+                "num_bad_arity": n_bad,
             },
             f,
         )
