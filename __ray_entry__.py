@@ -410,6 +410,99 @@ def q_embedding_dedup(sf_dir: str) -> pa.Table:
     return datapipe.embedding_dedup(emb, threshold=0.95)
 
 
+def _events_as_changes(sf_dir: str):
+    """events table → change-stream shape: gtid=event_id, 'error' = delete."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gtid": t.column("event_id"),
+                "seq_in_txn": pa.array(
+                    np.zeros(t.num_rows, dtype=np.int32), pa.int32()
+                ),
+                "op": pc.if_else(
+                    pc.equal(t.column("event_type"), "error"),
+                    pa.scalar("delete"),
+                    pa.scalar("insert"),
+                ),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value"),
+            }
+        )
+
+    return (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        .map_batches(fn, batch_format="pyarrow")
+    )
+
+
+def q_redis_string_state(sf_dir: str):
+    """K1 String structure: SET/DEL converged state (M10 key encoding)."""
+    from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan, structure_state
+
+    plan = RedisPlan(
+        RedisConfig(structure="string", key_prefix="evt:", key_column="user_id"),
+        pk_columns=("user_id",),
+    )
+    return structure_state(
+        _events_as_changes(sf_dir), plan, value_col="event_type"
+    )
+
+
+def q_redis_hash_state(sf_dir: str):
+    """K1 Hash structure: HSET/HDEL per (fixed key, field column)."""
+    from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan, structure_state
+
+    plan = RedisPlan(
+        RedisConfig(structure="hash", key_value="users", hash_field_column="user_id"),
+        pk_columns=("user_id",),
+    )
+    return structure_state(
+        _events_as_changes(sf_dir), plan, value_col="event_type"
+    )
+
+
+def q_redis_zset_state(sf_dir: str):
+    """K1 SortedSet: ZADD(score)/ZREM — incl. the score-column-index-in-
+    hash-field-slot quirk (/root/reference/global/rule.go:520-524)."""
+    from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan, structure_state
+
+    plan = RedisPlan(
+        RedisConfig(
+            structure="sortedset",
+            key_value="leaderboard",
+            sorted_set_score_column="value",
+        ),
+        pk_columns=("user_id",),
+    )
+    return structure_state(
+        _events_as_changes(sf_dir), plan, value_col="user_id"
+    )
+
+
+def q_redis_set_state(sf_dir: str):
+    """K1 Set structure: SADD membership (distinct event types per user)."""
+    from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan, structure_state
+
+    def all_inserts(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("op"),
+            "op",
+            pa.array(["insert"] * t.num_rows, pa.string()),
+        )
+
+    plan = RedisPlan(
+        RedisConfig(structure="set", key_prefix="seen:", key_column="user_id"),
+        pk_columns=("user_id",),
+    )
+    ds = _events_as_changes(sf_dir).map_batches(all_inserts, batch_format="pyarrow")
+    return structure_state(ds, plan, value_col="event_type")
+
+
 def q_message_envelopes(sf_dir: str):
     cfg = _binlog_cfg(sf_dir)
     events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
@@ -446,6 +539,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "embedding_dedup": q_embedding_dedup,
+        "redis_string_state": q_redis_string_state,
+        "redis_hash_state": q_redis_hash_state,
+        "redis_zset_state": q_redis_zset_state,
+        "redis_set_state": q_redis_set_state,
         "message_envelopes": q_message_envelopes,
         "media_features": q_media_features,
     }
@@ -528,6 +625,41 @@ def oracle_sql() -> dict[str, str]:
                                                  END, 1) BETWEEN 3.0 AND 12.0
                                  THEN 1.0 ELSE 0.0 END) AS quality
             FROM documents
+        """,
+        "redis_string_state": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT 'evt:' || CAST(user_id AS VARCHAR) AS redis_key,
+                   event_type AS value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "redis_hash_state": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT 'users' AS redis_key, CAST(user_id AS VARCHAR) AS field,
+                   event_type AS value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "redis_zset_state": """
+            WITH ranked AS (
+                SELECT user_id, event_type, value,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT 'leaderboard' AS redis_key,
+                   CAST(user_id AS VARCHAR) AS member, value AS score
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "redis_set_state": """
+            SELECT DISTINCT 'seen:' || CAST(user_id AS VARCHAR) AS redis_key,
+                   event_type AS value
+            FROM events
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text

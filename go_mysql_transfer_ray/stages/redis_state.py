@@ -1,0 +1,296 @@
+"""Redis-sink keyed-state model — M10 key/field/score encoding + K1
+structure semantics as Ray Data merge pipelines.
+
+The reference's Redis endpoint applies change events to five structures
+(/root/reference/service/endpoint/redis.go:225-269):
+
+* String  — ``SET key val`` / ``DEL key``
+* Hash    — ``HSET key field val`` / ``HDEL key field``
+* List    — insert: ``RPUSH``; update: ``LREM old + RPUSH new``;
+            delete: ``LREM val``
+* Set     — ``SADD val`` / update: ``SREM old + SADD new`` / ``SREM val``
+* SortedSet — ``ZADD score member`` / ``ZREM member``
+
+Key construction (/root/reference/service/endpoint/redis.go:271-327,
+compiled /root/reference/global/rule.go:458-548): fixed value | template
+formatter | named column | primary key, with an optional prefix.  The
+hash field and the sorted-set score each come from a named column —
+including the reference quirk that the **score column's index is stored
+in the hash-field index slot** (/root/reference/global/rule.go:520-524);
+``RedisPlan`` reproduces that by letting ``field_column`` carry the score
+column when the structure is a sorted set.
+
+Instead of issuing commands against a server, the engine computes the
+**converged final state** of each structure from the change stream — the
+same state a real Redis would hold after the reference replayed the
+stream (A5: update = remove-old-then-add):
+
+* string                → last-writer-wins per key, deletes drop
+* hash / set / sortedset → last-writer-wins per (key, field|member),
+  delete/SREM/ZREM tombstones drop — an associative reduce, so it uses
+  the same combiner + shuffle plan as the lake merge (stages/merge.py)
+* list                  → per-key ordered fold (RPUSH order matters);
+  groupby(key) + sorted replay inside ``map_groups``
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.encoders import compile_template, to_string_go
+from .merge import merged_dataset
+
+_FIELD_SEP = "\x00"  # internal (key, field) separator for the LWW merge
+
+
+@dataclass
+class RedisConfig:
+    """Rule fields of the reference's Redis DSL
+    (/root/reference/global/rule.go:83-91,458-548)."""
+
+    structure: str = "string"   # string|hash|list|set|sortedset
+    key_prefix: str = ""        # redis_key_prefix
+    key_value: str = ""         # redis_key_value (fixed key)
+    key_column: str = ""        # redis_key_column
+    key_formatter: str = ""     # redis_key_formatter (template)
+    hash_field_column: str = "" # redis_hash_field_column
+    sorted_set_score_column: str = ""  # redis_sorted_set_score_column
+
+
+class RedisPlan:
+    """Compiled key/field/score encoder for one rule (vectorized)."""
+
+    def __init__(self, cfg: RedisConfig, pk_columns: tuple[str, ...]):
+        self.cfg = cfg
+        self.pk_columns = pk_columns
+        self.render = (
+            compile_template(cfg.key_formatter) if cfg.key_formatter else None
+        )
+        # reference quirk (rule.go:520-524): the sorted-set score column
+        # index is stored into the hash-field index slot
+        if cfg.structure == "sortedset" and cfg.sorted_set_score_column:
+            self.field_column = cfg.sorted_set_score_column
+        else:
+            self.field_column = cfg.hash_field_column
+
+    def _stringify(self, col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_string(col.type):
+            return col
+        if pa.types.is_floating(col.type):
+            # Go shortest round-trip float formatting
+            vals = col.to_numpy(zero_copy_only=False)
+            return pa.array(
+                [to_string_go(None if np.isnan(v) else float(v)) for v in vals],
+                pa.string(),
+            )
+        return pc.cast(col, pa.string())
+
+    def keys(self, batch: pa.Table) -> pa.Array:
+        """Vectorized key construction (redis.go:271-327 precedence:
+        formatter > fixed value > column > PK), prefix applied last."""
+        cfg = self.cfg
+        if self.render is not None:
+            rows = batch.select(
+                [c for c in batch.column_names if not c.startswith("_")]
+            ).to_pylist()
+            key = pa.array([self.render(r) for r in rows], pa.string())
+        elif cfg.key_value:
+            key = pa.array([cfg.key_value] * batch.num_rows, pa.string())
+        elif cfg.key_column:
+            key = self._stringify(batch.column(cfg.key_column))
+        else:
+            parts = [self._stringify(batch.column(c)) for c in self.pk_columns]
+            key = (
+                pc.binary_join_element_wise(*parts, "")
+                if len(parts) > 1
+                else parts[0]
+            )
+        if cfg.key_prefix:
+            key = pc.binary_join_element_wise(
+                pa.scalar(cfg.key_prefix), key, ""
+            )
+        return key
+
+    def fields(self, batch: pa.Table) -> "pa.Array | None":
+        if not self.field_column:
+            return None
+        return self._stringify(batch.column(self.field_column))
+
+    def scores(self, batch: pa.Table) -> "pa.Array | None":
+        if self.cfg.structure != "sortedset":
+            return None
+        return pc.cast(batch.column(self.field_column), pa.float64())
+
+
+def _op_table(
+    batch: pa.Table,
+    plan: RedisPlan,
+    *,
+    value_col: str,
+    op_col: str,
+    order_cols: tuple[str, str],
+    rank_offset: int = 1,
+    force_op: "str | None" = None,
+) -> pa.Table:
+    """Normalize one change batch into redis-op rows for the merge.
+
+    Member-keyed structures (set/sortedset) explode updates into
+    remove-old + add-new; ``rank_offset`` disambiguates those two ops of
+    one event in the LWW order (rem=0 < add=1)."""
+    value = plan._stringify(batch.column(value_col))
+    key = plan.keys(batch)
+    field = plan.fields(batch)
+    if plan.cfg.structure in ("set", "sortedset"):
+        # membership is keyed by the encoded member value itself
+        merge_key = pc.binary_join_element_wise(key, value, _FIELD_SEP)
+    elif field is not None:
+        merge_key = pc.binary_join_element_wise(key, field, _FIELD_SEP)
+    else:
+        merge_key = key
+    rank = pc.add(
+        pc.multiply(pc.cast(batch.column(order_cols[1]), pa.int32()), 2),
+        rank_offset,
+    )
+    op = (
+        pa.array([force_op] * batch.num_rows, pa.string())
+        if force_op
+        else batch.column(op_col)
+    )
+    cols = {
+        "key": merge_key,
+        "gtid": batch.column(order_cols[0]),
+        "seq_in_txn": rank,
+        "op": op,
+        "redis_key": key,
+        "value": value,
+    }
+    if field is not None and plan.cfg.structure != "sortedset":
+        cols["field"] = field
+    score = plan.scores(batch)
+    if score is not None:
+        cols["member"] = value
+        cols["score"] = score
+    return pa.table(cols)
+
+
+def structure_state(
+    ds: "object",
+    plan: RedisPlan,
+    *,
+    value_col: str,
+    old_value_col: "str | None" = None,
+    op_col: str = "op",
+    order_cols: tuple[str, str] = ("gtid", "seq_in_txn"),
+    num_partitions: int = 16,
+):
+    """Final state of a string/hash/set/sortedset structure.
+
+    ``ds``: change-event Dataset whose ``op_col`` is insert/update/delete.
+    Returns a Dataset of the surviving entries (LWW per merge key, delete
+    tombstones dropped — the same skew-proof combiner plan as the lake).
+    For member-keyed structures, pass ``old_value_col`` so updates emit
+    the reference's remove-old-then-add pair (redis.go:254-267)."""
+    structure = plan.cfg.structure
+    if structure == "list":
+        raise ValueError("use list_state() — lists need an ordered fold")
+
+    def to_ops(t: pa.Table) -> pa.Table:
+        base = _op_table(
+            t, plan, value_col=value_col, op_col=op_col, order_cols=order_cols
+        )
+        if structure in ("set", "sortedset") and old_value_col and (
+            old_value_col in t.column_names
+        ):
+            upd = t.filter(pc.equal(t.column(op_col), pa.scalar("update")))
+            if upd.num_rows:
+                rem = _op_table(
+                    upd, plan, value_col=old_value_col, op_col=op_col,
+                    order_cols=order_cols, rank_offset=0, force_op="delete",
+                )
+                base = pa.concat_tables([rem, base])
+        return base
+
+    ops = ds.map_batches(to_ops, batch_format="pyarrow")
+    if structure == "sortedset":
+        final_cols = ["redis_key", "member", "score"]
+    elif structure == "hash":
+        final_cols = ["redis_key", "field", "value"]
+    else:  # string | set
+        final_cols = ["redis_key", "value"]
+    return merged_dataset(ops, num_partitions, final_columns=final_cols)
+
+
+def list_state(
+    ds: "object",
+    plan: RedisPlan,
+    *,
+    value_col: str,
+    old_value_col: "str | None" = None,
+    op_col: str = "op",
+    order_cols: tuple[str, str] = ("gtid", "seq_in_txn"),
+    num_partitions: int = 16,
+):
+    """Final List structure state: per-key ordered replay of
+    RPUSH / LREM+RPUSH / LREM (redis.go:239-252).
+
+    Returns Dataset rows ``(redis_key, list_pos, value)``.  The fold is
+    per-key sequential by necessity (list order is position-dependent),
+    so the plan shuffles by key and replays inside ``map_groups`` — keys
+    are independent, which is all the parallelism list semantics allow."""
+
+    def to_ops(t: pa.Table) -> pa.Table:
+        key = plan.keys(t)
+        cols = {
+            "key": key,
+            "gtid": t.column(order_cols[0]),
+            "seq_in_txn": pc.cast(t.column(order_cols[1]), pa.int32()),
+            "op": t.column(op_col),
+            "value": plan._stringify(t.column(value_col)),
+        }
+        if old_value_col is not None and old_value_col in t.column_names:
+            cols["old_value"] = plan._stringify(t.column(old_value_col))
+        return pa.table(cols)
+
+    def fold(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [("key", "ascending"), ("gtid", "ascending"), ("seq_in_txn", "ascending")]
+        )
+        out_keys: list[str] = []
+        out_pos: list[int] = []
+        out_vals: list[str] = []
+        rows = group.to_pylist()
+        state: dict[str, list] = {}
+        for r in rows:
+            lst = state.setdefault(r["key"], [])
+            op = r["op"]
+            if op == "insert":
+                lst.append(r["value"])
+            elif op == "update":
+                old = r.get("old_value", r["value"])
+                if old in lst:
+                    lst.remove(old)
+                lst.append(r["value"])
+            elif op == "delete":
+                if r["value"] in lst:
+                    lst.remove(r["value"])
+        for k, lst in state.items():
+            for i, v in enumerate(lst):
+                out_keys.append(k)
+                out_pos.append(i)
+                out_vals.append(v)
+        return pa.table(
+            {
+                "redis_key": pa.array(out_keys, pa.string()),
+                "list_pos": pa.array(out_pos, pa.int32()),
+                "value": pa.array(out_vals, pa.string()),
+            }
+        )
+
+    ops = ds.map_batches(to_ops, batch_format="pyarrow")
+    return ops.groupby("key").map_groups(fold, batch_format="pyarrow")
