@@ -398,6 +398,17 @@ def q_ann_lsh(sf_dir: str) -> pa.Table:
     return datapipe.lsh_bucketed_ann(emb, queries, k=10)
 
 
+def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
+    return datapipe.ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8)
+
+
+def q_ann_ivf(sf_dir: str) -> pa.Table:
+    emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 4)
+    queries = np.stack(head.column("embedding").to_pylist())
+    return datapipe.ivf_ann(emb, queries, k=10)
+
+
 def q_embedding_dedup(sf_dir: str) -> pa.Table:
     """The synthetic embeddings have no natural near-dups (max pairwise
     cosine ≈ 0.5), so plant exact duplicates of the first 20 vectors
@@ -538,6 +549,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q_simhash_dedup,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "embedding_dedup": q_embedding_dedup,
         "redis_string_state": q_redis_string_state,
         "redis_hash_state": q_redis_hash_state,

@@ -424,3 +424,182 @@ def embedding_dedup(
             "cosine": pa.array(sims[ii, jj][order].astype(np.float64)),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup + IVF ANN
+
+
+def _union_find_clusters(ids: "list[int]", pairs) -> "list[int]":
+    """Driver-side union-find (assumption: |verified pairs| << corpus)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [find(int(i)) for i in ids]
+
+
+def ngram_jaccard_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_anchors: int = 8,
+    threshold: float = 0.8,
+) -> pa.Table:
+    """EXACT n-gram Jaccard near-dup clustering (vs MinHash's estimate).
+
+    Candidate generation: each doc's ``num_anchors`` smallest n-gram
+    hashes become anchor keys (bottom-k sketch) — two docs with Jaccard ≥
+    threshold share a bottom hash with overwhelming probability; pairs
+    sharing any anchor are verified with the TRUE Jaccard over the full
+    n-gram hash sets (numpy intersect of sorted arrays).  Returns
+    ``(doc_id, cluster_id)``; cluster = min doc_id of its component.
+
+    Scale path note: verification here joins the full sets on the driver
+    (same assumption as minhash_dedup — pairs are rare); at cluster scale
+    the verify becomes a shuffle join of (pair → the two hash sets).
+    """
+
+    def to_sets(batch: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(batch.column(text_col))
+        sh, soff = textfn.shingle_hashes(flat, off, k=n)
+        sets, anchors = [], []
+        for d in range(batch.num_rows):
+            h = np.unique(sh[soff[d] : soff[d + 1]])
+            sets.append(h.astype(np.uint64))
+            a = np.sort(h)[:num_anchors]
+            anchors.append(a.astype(np.uint64))
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "ngrams": pa.array([s.tolist() for s in sets], pa.list_(pa.uint64())),
+                "anchors": pa.array(
+                    [a.tolist() for a in anchors], pa.list_(pa.uint64())
+                ),
+            }
+        )
+
+    sets_mat = ds.map_batches(to_sets, batch_format="pyarrow").materialize()
+
+    def explode_anchors(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        anchors = batch.column("anchors").to_pylist()
+        out_id, out_anchor = [], []
+        for i, alist in zip(ids, anchors):
+            out_id.extend([int(i)] * len(alist))
+            out_anchor.extend(alist)
+        return pa.table(
+            {
+                "anchor": pa.array(np.asarray(out_anchor, dtype=np.uint64)),
+                id_col: pa.array(np.asarray(out_id, dtype=np.int64)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        ii, jj = np.triu_indices(len(ids), 1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    pairs = (
+        sets_mat.map_batches(explode_anchors, batch_format="pyarrow")
+        .groupby("anchor")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates()
+    )
+
+    tab = sets_mat.to_pandas()
+    set_map = {
+        int(i): np.asarray(s, dtype=np.uint64)
+        for i, s in zip(tab[id_col], tab["ngrams"])
+    }
+    verified = []
+    for a, b in zip(pairs.get("a", []), pairs.get("b", [])):
+        sa, sb = set_map[int(a)], set_map[int(b)]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if union and inter / union >= threshold:
+            verified.append((int(a), int(b)))
+
+    all_ids = sorted(set_map)
+    clusters = _union_find_clusters(all_ids, verified)
+    return pa.table(
+        {
+            id_col: pa.array(all_ids, pa.int64()),
+            "cluster_id": pa.array(clusters, pa.int64()),
+        }
+    )
+
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int = 12, seed: int = 13):
+    """Tiny numpy Lloyd's k-means on L2-normalized vectors (driver-side,
+    sample only — the IVF coarse quantizer)."""
+    rng = np.random.RandomState(seed)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = sample[rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_ann(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 13,
+) -> pa.Table:
+    """IVF-flat ANN: coarse k-means quantizer (trained on a driver-side
+    sample), per-batch cluster assignment, scan only the ``nprobe``
+    closest inverted lists per query.
+
+    The scale story: centroids are broadcast once (``ray.put``); every
+    batch does one matmul to assign clusters and drops rows outside the
+    probed lists BEFORE the top-k matmul — scanned volume ~ nprobe/nlist
+    of the corpus, independent of corpus size."""
+    q = np.asarray(queries, dtype=np.float32)
+    sample = np.stack(
+        ds.limit(sample_size).to_pandas()[vec_col].to_numpy()
+    ).astype(np.float32)
+    cent = _kmeans(sample, nlist, seed=seed)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    probed = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    wanted = np.unique(probed.reshape(-1))
+    cent_ref = ray.put(cent)
+    wanted_ref = ray.put(wanted)
+
+    def filter_lists(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = np.stack(
+            batch.column(vec_col).to_numpy(zero_copy_only=False)
+        ).astype(np.float32)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        assign = np.argmax(mat @ c.T, axis=1)
+        keep = np.isin(assign, ray.get(wanted_ref))
+        return batch.filter(pa.array(keep))
+
+    pruned = ds.map_batches(filter_lists, batch_format="pyarrow")
+    return ann_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col)

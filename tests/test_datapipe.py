@@ -155,3 +155,35 @@ def test_embedding_dedup_pairs(emb):
     ds = ray.data.from_pandas(pd.concat([tab, dup], ignore_index=True))
     out = datapipe.embedding_dedup(ds, threshold=0.999).to_pandas()
     assert ((out["a"] == 0) & (out["b"] == 999)).any()
+
+
+def test_ngram_jaccard_dedup_exact_jaccard():
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": " ".join(f"g{i}_{j}" for j in range(50))})
+    # doc 200: one token changed from doc 0 → true Jaccard just under 1
+    rows.append({"doc_id": 200, "text": rows[0]["text"].replace("g0_9 ", "ZZZ ")})
+    # doc 201: exact copy of doc 5
+    rows.append({"doc_id": 201, "text": rows[5]["text"]})
+    ds = ray.data.from_items(rows)
+    out = datapipe.ngram_jaccard_dedup(ds, threshold=0.8, n=3).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[200] == cl[0] == 0
+    assert cl[201] == cl[5] == 5
+    assert cl[1] == 1
+    # threshold above the planted pair's true Jaccard → no merge
+    out2 = datapipe.ngram_jaccard_dedup(ds, threshold=0.999, n=3).to_pandas()
+    cl2 = dict(zip(out2["doc_id"], out2["cluster_id"]))
+    assert cl2[200] == 200 and cl2[201] == 5
+
+
+def test_ivf_ann_recalls_planted_queries(emb):
+    tab = emb.to_pandas()
+    mat = np.stack(tab["embedding"].to_numpy()).astype(np.float32)
+    queries = mat[:3]
+    out = datapipe.ivf_ann(emb, queries, k=5, nlist=8, nprobe=3).to_pandas()
+    # the query vectors are corpus members: each must recall itself at rank 1
+    for q in range(3):
+        g = out[out["query_id"] == q].sort_values("rank")
+        assert int(g.iloc[0]["neighbor_id"]) == int(tab["vec_id"].iloc[q])
+        assert g.iloc[0]["cosine"] > 0.999
