@@ -29,20 +29,23 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_SCALE = int(os.environ.get("GRAFT_BENCH_SCALE", "1"))
 EVENT_ROOT = "/tmp/gmt_bench_events"
 LAKE_ROOT = "/tmp/gmt_bench_lake"
 
 
-def _bench_binlog_cfg(sf_dir: str):
+def _bench_binlog_cfg(sf_dir: str, scale: int = 1):
     """Flagship event-stream config: ~8 events/key, keys scaled to the sf
-    (sf0.1 → ~200k keys / ~1.6M change events), one hot repo at 8×."""
+    (sf0.1 → ~200k keys / ~3.3M change events), one hot repo at 8×.
+    ``scale`` multiplies the key count (the scaling run uses a larger
+    stream so fixed per-job overhead doesn't mask compute scaling)."""
     import pyarrow.parquet as pq
 
     from go_mysql_transfer_ray.sources.binlog import BinlogConfig
 
     n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
     return BinlogConfig(
-        num_keys=max(2000, n_docs * 40),
+        num_keys=max(2000, n_docs * 40) * scale,
         avg_events_per_key=8.0,
         delete_pct=12,
         hot_repos=1,
@@ -82,7 +85,7 @@ def _flagship(sf_dir: str) -> dict:
     from go_mysql_transfer_ray.pipelines import cdc
     from go_mysql_transfer_ray.sources.binlog import materialize_events, read_meta
 
-    cfg = _bench_binlog_cfg(sf_dir)
+    cfg = _bench_binlog_cfg(sf_dir, BENCH_SCALE)
     events_dir = materialize_events(cfg, root=EVENT_ROOT, shards=64)
     n_events = read_meta(events_dir)["num_change_events"]
     # prime the OS file cache (untimed): measure steady-state engine
@@ -164,17 +167,35 @@ def run_flagship_only() -> dict:
     }
 
 
-def run_scaling(low: int, high: int) -> dict:
-    """Identical flagship job at two num_cpus levels in fresh processes."""
-    # warm the event cache once so neither child pays generation cost
-    _bench_cfg = _bench_binlog_cfg(SF_DIR)
+def run_scaling(low: int, high: int, scale: int = 1) -> dict:
+    """Identical flagship job at two num_cpus levels in fresh processes.
+
+    ``scale`` multiplies the stream size if a longer-running measurement
+    is wanted; both legs always run the byte-identical job and input."""
+    # warm the event cache once (parallel generation) so neither child
+    # pays generation cost
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local", num_cpus=NUM_CPUS,
+            include_dashboard=False, ignore_reinit_error=True,
+        )
     from go_mysql_transfer_ray.sources.binlog import materialize_events
 
-    materialize_events(_bench_cfg, root=EVENT_ROOT, shards=64)
+    materialize_events(
+        _bench_binlog_cfg(SF_DIR, scale), root=EVENT_ROOT, shards=64
+    )
+    ray.shutdown()
 
     results = {}
     for n in (low, high):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=SF_DIR)
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(n),
+            GRAFT_SF_DIR=SF_DIR,
+            GRAFT_BENCH_SCALE=str(scale),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--flagship-only"],
             env=env,
@@ -207,7 +228,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
-    ap.add_argument("--scaling-cpus", default="8,32")
+    # N vs 4N CPUs. 4→16 (not 8→32) because this single-node sandbox hits
+    # a memory/page-fault wall near ~400k events/s that caps ANY cpu count
+    # — both legs must sit below it to measure the ENGINE's scaling.
+    ap.add_argument("--scaling-cpus", default="4,16")
     args = ap.parse_args()
 
     if args.scaling:

@@ -26,11 +26,11 @@ cluster, tested single-node):
 
 from __future__ import annotations
 
-import functools
 import glob
 import os
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -41,6 +41,7 @@ import ray.data
 from ..functions.coerce import ColumnSpec
 from ..rules import RuleConfig, RulePlan
 from ..schema import BASE_COLUMNS
+from ..stages import shuffle as shfl
 from ..stages.decode import Decoder
 from ..stages.merge import Combiner, final_merge
 from ..stages.rule_engine import RuleEngine
@@ -94,22 +95,6 @@ def _final_columns(ddl_events: list[dict]) -> list[str]:
         if d and d.get("add_column"):
             cols.append(d["add_column"])
     return cols
-
-
-def _write_partition_group(
-    group: pa.Table, *, out_dir: str, watermark: int, final_columns: list[str]
-) -> pa.Table:
-    """Per-partition finalize + atomic write; returns one metrics row."""
-    part = group.column("_part")[0].as_py()
-    final = final_merge(group, final_columns=final_columns)
-    m = mstate.write_partition(out_dir, part, final, watermark)
-    return pa.table(
-        {
-            "partition": pa.array([part], pa.int32()),
-            "rows": pa.array([m["rows"]], pa.int64()),
-            "gtid_watermark": pa.array([watermark], pa.int64()),
-        }
-    )
 
 
 def _stream_specs(ddl_events: list[dict]) -> list[ColumnSpec]:
@@ -207,15 +192,45 @@ def replay(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    writer = functools.partial(
-        _write_partition_group,
-        out_dir=out_dir,
-        watermark=watermark,
-        final_columns=final_cols,
+
+    # --- the exchange: storage-backed shuffle (stages/shuffle.py) --------
+    # stage A: append per-(task, partition) delta files; stage B: one
+    # independent task per partition reduces + writes final + manifest.
+    # No Sort operator — the merge needs co-location, not order.
+    shuffle_dir = os.path.join(out_dir, "_shuffle")
+    shfl.prepare_shuffle_dir(
+        shuffle_dir,
+        num_partitions,
+        {"watermark": watermark, "num_partitions": num_partitions},
     )
+    ds.map_batches(
+        shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
+    ).sum("_rows")
+
+    def merge_parts(batch: dict) -> dict:
+        parts_done, rows_done = [], []
+        for p in batch["id"]:
+            p = int(p)
+            if p in skip:
+                continue
+            group = shfl.read_partition_deltas(shuffle_dir, p)
+            if group is None or group.num_rows == 0:
+                continue  # empty partition: no data file, no manifest
+            final = final_merge(group, final_columns=final_cols)
+            m = mstate.write_partition(out_dir, p, final, watermark)
+            parts_done.append(p)
+            rows_done.append(m["rows"])
+        return {
+            "partition": np.asarray(parts_done, dtype=np.int32),
+            "rows": np.asarray(rows_done, dtype=np.int64),
+        }
+
     metrics = (
-        ds.groupby("_part").map_groups(writer, batch_format="pyarrow").to_pandas()
+        ray.data.range(num_partitions, override_num_blocks=num_partitions)
+        .map_batches(merge_parts)
+        .to_pandas()
     )
+    shfl.cleanup(shuffle_dir)
     return {
         "watermark": watermark,
         "parts_written": int(len(metrics)),

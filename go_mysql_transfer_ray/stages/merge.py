@@ -44,18 +44,32 @@ _SORT_KEYS = [
 
 
 def keep_last_per_key(t: pa.Table) -> pa.Table:
-    """Vectorized per-key argmax(gtid, seq): sort + last-of-run filter."""
+    """Vectorized per-key argmax(gtid, seq).
+
+    Factorize the key strings once, lexsort INT arrays only (never the
+    payload), mark each key's winner, and apply a single boolean filter —
+    the payload (large ``content`` strings) is copied exactly once, for
+    surviving rows only, instead of a full-table sorted ``take``."""
     n = t.num_rows
     if n <= 1:
         return t
-    t = t.take(pc.sort_indices(t, sort_keys=_SORT_KEYS))
-    k = t.column("key").combine_chunks()
-    last_of_run = pc.not_equal(k.slice(0, n - 1), k.slice(1, n - 1))
-    mask = pa.concat_arrays(
-        [last_of_run.combine_chunks() if isinstance(last_of_run, pa.ChunkedArray) else last_of_run,
-         pa.array([True])]
-    )
-    return t.filter(mask)
+    k = t.column("key")
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    # arrow dictionary codes, NOT pd.factorize — pandas' string hashtable
+    # truncates at embedded NUL bytes, which our "\x00" composite-key
+    # separators (redis_state) would collide on
+    codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    gtid = t.column("gtid").to_numpy(zero_copy_only=False)
+    seq = t.column("seq_in_txn").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, gtid, codes))
+    oc = codes[order]
+    last_of_run = np.empty(n, dtype=bool)
+    last_of_run[:-1] = oc[:-1] != oc[1:]
+    last_of_run[-1] = True
+    mask = np.zeros(n, dtype=bool)
+    mask[order[last_of_run]] = True
+    return t.filter(pa.array(mask))
 
 
 def key_hash(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:

@@ -1,0 +1,110 @@
+"""Storage-backed key exchange — the engine's shuffle, without a Sort.
+
+Ray Data's built-in ``groupby(...).map_groups`` routes through a global
+sort-based all-to-all whose wall time barely scales with CPUs for this
+workload (measured: 34-41 s at sf0.1×2 regardless of 4 vs 16 CPUs).  The
+merge only needs *co-location by partition id*, not order — so the
+exchange is expressed as the classic external-shuffle pattern instead:
+
+  stage A  map task: split each combined batch by ``_part`` and append
+           one delta Parquet per (task, partition) under
+           ``<shuffle_dir>/part=K/`` — sequential local writes, no
+           cross-task coordination;
+  stage B  one independent task per partition: read that partition's
+           delta files, reduce (LWW by key), write the final partition +
+           manifest.  Embarrassingly parallel; the only barrier is the
+           inherent one (a partition can't finalize before all its
+           deltas exist).
+
+On a multi-node cluster the shuffle dir lives on the shared store the
+lake already requires — the same design as Spark's external shuffle /
+push-based shuffle.  Crash safety falls out of the merge's idempotence:
+duplicate delta files (task retries, reruns) carry identical
+``(key, gtid, seq)`` rows and dedupe in the LWW reduce; a stale shuffle
+dir from a run with different parameters is detected via ``_meta.json``
+and wiped.
+
+Scale note: delta-file count = A-tasks × partitions.  At 10^10 events
+the pattern stays the same but deltas aggregate per node (actor-held
+buffers / a shuffle service) rather than per task; at bench scale
+(~10^2 tasks × ~10^2 partitions) per-task files are the simple and
+fast choice.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+class DeltaWriter:
+    """map_batches stage: split a combined batch by ``_part`` and append
+    delta Parquet files.  Emits one tiny count row per batch so the
+    pipeline stays streaming (no data returns to the object store)."""
+
+    def __init__(self, shuffle_dir: str):
+        self.shuffle_dir = shuffle_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        part = batch.column("_part").to_numpy()
+        order = np.argsort(part, kind="stable")
+        t = batch.take(pa.array(order))
+        part = part[order]
+        bounds = np.flatnonzero(np.diff(part)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(part)]])
+        u = uuid.uuid4().hex[:12]
+        for s, e in zip(starts, ends):
+            p = int(part[s])
+            pq.write_table(
+                t.slice(int(s), int(e - s)).drop_columns(["_part"]),
+                os.path.join(self.shuffle_dir, f"part={p:05d}", f"d-{u}.parquet"),
+            )
+        return pa.table({"_rows": pa.array([len(part)], pa.int64())})
+
+
+def prepare_shuffle_dir(shuffle_dir: str, num_partitions: int, meta: dict) -> None:
+    """Create (or wipe-and-create) the shuffle dir.
+
+    ``meta`` identifies the run's parameters (watermark, partitions); a
+    leftover dir whose meta differs would mix incompatible partition
+    assignments, so it is removed."""
+    meta_path = os.path.join(shuffle_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                old = json.load(f)
+        except (OSError, ValueError):
+            old = None
+        if old != meta:
+            shutil.rmtree(shuffle_dir, ignore_errors=True)
+    elif os.path.exists(shuffle_dir):
+        shutil.rmtree(shuffle_dir, ignore_errors=True)
+    for p in range(num_partitions):
+        os.makedirs(os.path.join(shuffle_dir, f"part={p:05d}"), exist_ok=True)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def partition_delta_files(shuffle_dir: str, part: int) -> list[str]:
+    return sorted(glob.glob(os.path.join(shuffle_dir, f"part={part:05d}", "*.parquet")))
+
+
+def read_partition_deltas(shuffle_dir: str, part: int) -> "pa.Table | None":
+    files = partition_delta_files(shuffle_dir, part)
+    if not files:
+        return None
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
+
+
+def cleanup(shuffle_dir: str) -> None:
+    shutil.rmtree(shuffle_dir, ignore_errors=True)
