@@ -303,6 +303,35 @@ def q_tpch_q1ish(sf_dir: str):
     )
 
 
+def q_date_format_orders(sf_dir: str):
+    """M11 datetime reformatting: yyyy-MM-dd DSL → strftime, incl. the
+    reference's mm=month / MM=minute quirk (util/dates/date_format.go)."""
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="o_orderkey,o_orderdate",
+            datetime_formatter="dd/mm/yyyy HH:MM:SS",
+            primary_keys=("o_orderkey",),
+        ),
+        [ColumnSpec("o_orderkey", "number"), ColumnSpec("o_orderdate", "datetime")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        # binlog semantics: temporal values arrive as MySQL-format strings
+        as_str = t.set_column(
+            t.schema.get_field_index("o_orderdate"),
+            "o_orderdate",
+            pc.strftime(
+                pc.cast(t.column("o_orderdate"), pa.timestamp("s")),
+                format="%Y-%m-%d %H:%M:%S",
+            ),
+        )
+        return plan.apply(as_str)
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def q_doc_token_counts(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -539,6 +568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_filter_project": q_events_filter_project,
         "lookup_join_nation": q_lookup_join_nation,
         "tpch_q1ish": q_tpch_q1ish,
+        "date_format_orders": q_date_format_orders,
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
@@ -608,6 +638,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "date_format_orders": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS o_orderdate
+            FROM orders
         """,
         "doc_token_counts": r"""
             SELECT doc_id,
