@@ -122,11 +122,15 @@ def run_suite() -> dict:
     qs = entry_mod.queries()
     headline = [
         "cdc_last_state_per_user",
+        "redis_string_state",
         "tpch_q1ish",
+        "date_format_orders",
         "doc_quality",
         "dedup_exact",
         "minhash_dedup",
+        "ngram_jaccard_dedup",
         "ann_topk",
+        "ann_ivf",
         "group_lang_stats",
     ]
     timings: dict[str, float] = {}
