@@ -8,15 +8,18 @@ Ray-Data-first equivalent of the reference's whole run loop
       → map_batches(Decoder)                  stateless decode (stages.decode)
       → [map_batches(RuleEngine actor pool)]  optional transforms (stages.rule_engine)
       → map_batches(Combiner)                 partial per-key reduce + partition + fence
-      → groupby("_part").map_groups(writer)   final merge + atomic Parquet + manifest
-      → tiny metrics dataset                  (collected on the driver)
+      → map_batches(DeltaWriter)              storage shuffle: delta Parquet per
+                                              (task, partition)  (stages.shuffle)
+      → one task per partition                final LWW merge + atomic Parquet +
+                                              manifest; tiny metrics dataset
 
 Scale properties (designed for ~100 TB / 10^10 events on a multi-node
 cluster, tested single-node):
 
-* the only all-to-all exchange is the ``groupby("_part")`` over
+* the only all-to-all exchange is the storage-backed shuffle over
   combiner-reduced partials — O(distinct keys × blocks-touched), not
-  O(events);
+  O(events) — and it involves no sort (measured CPU-count-invariant
+  for Ray's sort-based groupby on this workload);
 * DDL discovery and the target watermark come from *pruned* reads
   (column projection + parquet row-group statistics), never a full pass;
 * per-partition output + manifests make reruns skip finished partitions;
@@ -120,7 +123,7 @@ def replay(
     udf: Callable | None = None,
     lookup: dict | None = None,
     rule_concurrency: "int | tuple[int, int]" = (1, 4),
-    batch_size: int = 32768,
+    batch_size: int = 65536,
     extra_events: "ray.data.Dataset | None" = None,
 ) -> dict:
     """Replay the event log into a converged lake table at ``out_dir``.
