@@ -1,0 +1,163 @@
+"""CLI — the reference's main.go surface, Ray-Data-shaped.
+
+Reference modes (/root/reference/main.go:92-189): default run =
+incremental sync; ``-stock`` = full import; ``-position`` = overwrite the
+saved binlog position; ``-status`` = print it.  Here the "position" is
+the per-partition manifest watermark set (state/manifest.py).
+
+    python -m go_mysql_transfer_ray generate --num-keys 20000 --out /tmp/ev
+    python -m go_mysql_transfer_ray stock    --base t.parquet --out /tmp/lake
+    python -m go_mysql_transfer_ray replay   --events /tmp/ev --out /tmp/lake
+    python -m go_mysql_transfer_ray status   --out /tmp/lake
+    python -m go_mysql_transfer_ray position --out /tmp/lake --force-watermark 0
+
+This module owns its Ray session (the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def _ray_session(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+        )
+    return ray
+
+
+def cmd_generate(args) -> dict:
+    from .sources.binlog import BinlogConfig, materialize_events, read_meta
+
+    ray = _ray_session(args.num_cpus)
+    cfg = BinlogConfig(
+        num_keys=args.num_keys,
+        avg_events_per_key=args.events_per_key,
+        delete_pct=args.delete_pct,
+        hot_repos=args.hot_repos,
+        hot_multiplier=args.hot_multiplier,
+        bad_arity_permille=args.bad_arity_permille,
+        seed=args.seed,
+    )
+    d = materialize_events(cfg, root=args.out, shards=args.shards)
+    ray.shutdown()
+    return {"events_dir": d, **read_meta(d)}
+
+
+def cmd_stock(args) -> dict:
+    from .pipelines import cdc
+
+    ray = _ray_session(args.num_cpus)
+    m = cdc.stock_import(
+        args.base, args.out, num_partitions=args.num_partitions
+    )
+    ray.shutdown()
+    return m
+
+
+def cmd_replay(args) -> dict:
+    from .pipelines import cdc
+
+    ray = _ray_session(args.num_cpus)
+    m = cdc.replay(
+        args.events,
+        args.out,
+        num_partitions=args.num_partitions,
+        resume=not args.no_resume,
+        base_dir=args.base_dir,
+    )
+    ray.shutdown()
+    return m
+
+
+def cmd_status(args) -> dict:
+    """-status: print the saved position (main.go:111-119)."""
+    from .state import manifest as mstate
+
+    ms = mstate.load_manifests(args.out)
+    if not ms:
+        return {"out": args.out, "partitions": 0, "watermark": None}
+    wms = [m["gtid_watermark"] for m in ms.values()]
+    return {
+        "out": args.out,
+        "partitions": len(ms),
+        "rows": sum(m["rows"] for m in ms.values()),
+        "watermark_min": min(wms),
+        "watermark_max": max(wms),
+    }
+
+
+def cmd_position(args) -> dict:
+    """-position: overwrite the saved position (main.go:156-189) — here:
+    force every partition manifest's watermark so the next replay
+    recomputes (or skips) accordingly."""
+    import json as _json
+
+    from .state import manifest as mstate
+
+    ms = mstate.load_manifests(args.out)
+    mdir = mstate.manifest_dir(args.out)
+    for p, m in ms.items():
+        m["gtid_watermark"] = args.force_watermark
+        path = os.path.join(mdir, f"part-{p:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(m, f)
+        os.replace(tmp, path)
+    return {"out": args.out, "partitions": len(ms), "watermark": args.force_watermark}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="go_mysql_transfer_ray")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="materialize a synthetic binlog stream")
+    g.add_argument("--out", default="/tmp/gmt_ray_events")
+    g.add_argument("--num-keys", type=int, default=10000)
+    g.add_argument("--events-per-key", type=float, default=4.0)
+    g.add_argument("--delete-pct", type=int, default=12)
+    g.add_argument("--hot-repos", type=int, default=1)
+    g.add_argument("--hot-multiplier", type=int, default=8)
+    g.add_argument("--bad-arity-permille", type=int, default=5)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--shards", type=int, default=16)
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("stock", help="full (stock) import of a base table")
+    s.add_argument("--base", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--num-partitions", type=int, default=64)
+    s.set_defaults(fn=cmd_stock)
+
+    r = sub.add_parser("replay", help="incremental replay → lake")
+    r.add_argument("--events", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--num-partitions", type=int, default=64)
+    r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--base-dir", default=None)
+    r.set_defaults(fn=cmd_replay)
+
+    st = sub.add_parser("status", help="print checkpoint state")
+    st.add_argument("--out", required=True)
+    st.set_defaults(fn=cmd_status)
+
+    po = sub.add_parser("position", help="force the checkpoint watermark")
+    po.add_argument("--out", required=True)
+    po.add_argument("--force-watermark", type=int, required=True)
+    po.set_defaults(fn=cmd_position)
+
+    args = ap.parse_args(argv)
+    print(json.dumps(args.fn(args)))
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,87 @@ def _stream_specs(ddl_events: list[dict]) -> list[ColumnSpec]:
     return specs
 
 
+def _base_as_changes(base_ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Stock-loaded rows → merge-shaped change rows at gtid=-1.
+
+    The reference runs stock import and incremental sync as two separate
+    programs against the same sink (main.go:99-154); here the snapshot
+    participates in the SAME LWW merge as the lowest-precedence writer —
+    any real event (gtid ≥ 0) overrides its key's stock row."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            t.column("repo"), t.column("path"), ""
+        )
+        n = t.num_rows
+        cols = {
+            "key": key,
+            "gtid": pa.array(np.full(n, -1, dtype=np.int64)),
+            "seq_in_txn": pa.array(np.zeros(n, dtype=np.int32)),
+            "op": pa.array(["insert"] * n, pa.string()),
+        }
+        for c in t.column_names:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    return base_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stock_import(
+    base_path: "str | list[str]",
+    out_dir: str,
+    *,
+    num_partitions: int = 64,
+    batch_size: int = 65536,
+) -> dict:
+    """Full (stock) export → lake: the reference's ``-stock`` run
+    (/root/reference/service/stock_service.go:59-158).  No manual paging:
+    Ray's block-parallel ``read_parquet`` replaces the PK self-join
+    LIMIT/OFFSET trick (stock_service.go:196-207).  Writes manifests at
+    watermark −1 so a subsequent incremental ``replay(...,
+    base_dir=out_dir)`` re-fences every partition."""
+    ds = ray.data.read_parquet(base_path)
+    ds = _base_as_changes(ds)
+    ds = ds.map_batches(
+        Combiner(num_partitions), batch_format="pyarrow", batch_size=batch_size
+    )
+    shuffle_dir = os.path.join(out_dir, "_shuffle")
+    shfl.prepare_shuffle_dir(
+        shuffle_dir, num_partitions, {"watermark": -1, "num_partitions": num_partitions}
+    )
+    ds.map_batches(
+        shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
+    ).sum("_rows")
+
+    def merge_parts(batch: dict) -> dict:
+        parts_done, rows_done = [], []
+        for p in batch["id"]:
+            p = int(p)
+            group = shfl.read_partition_deltas(shuffle_dir, p)
+            if group is None or group.num_rows == 0:
+                continue
+            final = final_merge(group, final_columns=None)
+            m = mstate.write_partition(out_dir, p, final, -1)
+            parts_done.append(p)
+            rows_done.append(m["rows"])
+        return {
+            "partition": np.asarray(parts_done, dtype=np.int32),
+            "rows": np.asarray(rows_done, dtype=np.int64),
+        }
+
+    metrics = (
+        ray.data.range(num_partitions, override_num_blocks=num_partitions)
+        .map_batches(merge_parts)
+        .to_pandas()
+    )
+    shfl.cleanup(shuffle_dir)
+    return {
+        "watermark": -1,
+        "parts_written": int(len(metrics)),
+        "rows": int(metrics["rows"].sum()) if len(metrics) else 0,
+    }
+
+
 def replay(
     events_dir: str,
     out_dir: str,
@@ -125,6 +206,7 @@ def replay(
     rule_concurrency: "int | tuple[int, int]" = (1, 4),
     batch_size: int = 65536,
     extra_events: "ray.data.Dataset | None" = None,
+    base_dir: "str | None" = None,
 ) -> dict:
     """Replay the event log into a converged lake table at ``out_dir``.
 
@@ -190,6 +272,33 @@ def replay(
     else:
         # keep only merge-relevant columns before the shuffle
         ds = ds.select_columns(["key", "gtid", "seq_in_txn", "op", *final_cols])
+
+    if base_dir is not None:
+        # stock snapshot participates in the merge at lowest precedence
+        # (gtid=-1 inserts); columns added by later DDL are null-padded
+        ddl_types = {
+            d["add_column"]: {"int64": pa.int64(), "double": pa.float64()}.get(
+                d.get("arrow_type"), pa.string()
+            )
+            for d in facts["ddl_events"]
+            if d and d.get("add_column")
+        }
+        want = ["key", "gtid", "seq_in_txn", "op", *(final_cols or [])]
+
+        def pad(t: pa.Table) -> pa.Table:
+            cols = {}
+            for c in want:
+                if c in t.column_names:
+                    cols[c] = t.column(c)
+                else:
+                    cols[c] = pa.nulls(t.num_rows, ddl_types.get(c, pa.string()))
+            return pa.table(cols)
+
+        base = _base_as_changes(read_lake(base_dir)).map_batches(
+            pad, batch_format="pyarrow", batch_size=batch_size
+        )
+        ds = ds.union(base)
+
     ds = ds.map_batches(
         Combiner(num_partitions, skip_parts=skip),
         batch_format="pyarrow",

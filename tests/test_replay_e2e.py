@@ -94,3 +94,47 @@ def test_resume_skips_finished_partitions(tmp_path):
     engine2 = cdc.lake_table(out)
     ora = oracle.replay_full(generate(cfg).table)
     assert_state_equal(engine2, ora)
+
+
+def test_stock_then_incremental(tmp_path):
+    """Reference -stock then incremental sync (main.go:99-154): snapshot
+    rows participate at lowest precedence; events override their keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cfg = BinlogConfig(num_keys=150, avg_events_per_key=4.0, delete_pct=20)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "events"), shards=4)
+
+    # base snapshot: 20 keys outside the event stream + 5 keys that the
+    # stream WILL touch (its first per-key op is an insert → overrides)
+    stream_state = oracle.replay_full(generate(cfg).table)
+    touched = sorted(stream_state)[:5]
+    base_rows = {
+        "repo": [f"base/r{i}" for i in range(20)] + [stream_state[k]["repo"] for k in touched],
+        "path": [f"p{i}.py" for i in range(20)] + [stream_state[k]["path"] for k in touched],
+        "commit": ["c" * 40] * 25,
+        "lang": ["python"] * 25,
+        "content": [f"base content {i}" for i in range(25)],
+    }
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(pa.table(base_rows), base_path)
+
+    out = str(tmp_path / "lake")
+    m1 = cdc.stock_import(base_path, out, num_partitions=16)
+    assert m1["rows"] == 25 and m1["watermark"] == -1
+
+    m2 = cdc.replay(events_dir, out, num_partitions=16, base_dir=out)
+    engine = cdc.lake_table(out)
+
+    # expected: stream oracle state + the 20 untouched base keys (stars null)
+    expected = dict(stream_state)
+    for i in range(20):
+        expected[f"base/r{i}p{i}.py"] = {
+            "repo": f"base/r{i}", "path": f"p{i}.py", "commit": "c" * 40,
+            "lang": "python", "content": f"base content {i}", "stars": None,
+        }
+    assert_state_equal(engine, expected)
+    # the 5 touched keys must show STREAM content, not base content
+    eng = {r["repo"] + r["path"]: r for r in engine.to_pylist()}
+    for k in touched:
+        assert eng[k]["content"] == stream_state[k]["content"]
