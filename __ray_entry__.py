@@ -209,6 +209,67 @@ def q_value_encoder_json(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_value_encoder_vcommas(sf_dir: str):
+    """v-commas value encoder (M8): values joined by commas, field order
+    pinned to the rule's output order (determinization of the reference's
+    random Go map iteration — see functions/encoders.py)."""
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name,c_mktsegment",
+            value_encoder="v-commas",
+            primary_keys=("c_custkey",),
+        ),
+        [
+            ColumnSpec("c_custkey", "number"),
+            ColumnSpec("c_name", "string"),
+            ColumnSpec("c_mktsegment", "string"),
+        ],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        proj = plan.apply(t)
+        return pa.table(
+            {"c_custkey": t.column("c_custkey"), "encoded": plan.encode_values(proj)}
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def q_es_mapping_infer(sf_dir: str) -> pa.Table:
+    """T7 ES mapping inference + evolution delta as a queryable artifact."""
+    from go_mysql_transfer_ray.functions.es_mapping import build_properties, mapping_delta
+
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name,c_acctbal,c_mktsegment",
+            default_column_values="source=stock",
+            primary_keys=("c_custkey",),
+        ),
+        [
+            ColumnSpec("c_custkey", "number"),
+            ColumnSpec("c_name", "string"),
+            ColumnSpec("c_acctbal", "float"),
+            ColumnSpec("c_mktsegment", "string"),
+        ],
+    )
+    desired = build_properties(
+        plan, es_mappings=[{"field": "c_name", "type": "text", "analyzer": "standard"}]
+    )
+    existing = {"c_custkey": {"type": "long"}}
+    delta = mapping_delta(existing, desired)
+    fields = sorted(desired)
+    return pa.table(
+        {
+            "field": pa.array(fields, pa.string()),
+            "es_type": pa.array([desired[f]["type"] for f in fields], pa.string()),
+            "in_delta": pa.array([f in delta for f in fields], pa.bool_()),
+        }
+    )
+
+
 def q_events_filter_project(sf_dir: str):
     """Table filter + projection pushdown (S2/M2)."""
 
@@ -565,6 +626,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_key_lineitem": q_composite_key_lineitem,
         "value_encoder_kv": q_value_encoder_kv,
         "value_encoder_json": q_value_encoder_json,
+        "value_encoder_vcommas": q_value_encoder_vcommas,
+        "es_mapping_infer": q_es_mapping_infer,
         "events_filter_project": q_events_filter_project,
         "lookup_join_nation": q_lookup_join_nation,
         "tpch_q1ish": q_tpch_q1ish,
@@ -622,6 +685,11 @@ def oracle_sql() -> dict[str, str]:
         "value_encoder_json": """
             SELECT c_custkey,
                    '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_name":"' || c_name || '"}' AS encoded
+            FROM customer
+        """,
+        "value_encoder_vcommas": """
+            SELECT c_custkey,
+                   CAST(c_custkey AS VARCHAR) || ',' || c_name || ',' || c_mktsegment AS encoded
             FROM customer
         """,
         "events_filter_project": """

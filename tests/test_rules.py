@@ -194,3 +194,33 @@ def test_udf_sink_ops_upsert_delete():
     out = eng(batch)
     assert out.column("op").to_pylist() == ["insert", "delete"]
     assert out.column("key").to_pylist() == ["K-org0/repo1", "K-a/b"]
+
+
+def test_es_mapping_inference_and_delta():
+    """T7: type map (endpoint.go:338-384) + add-only evolution
+    (elastic7.go:119-171)."""
+    from go_mysql_transfer_ray.functions.es_mapping import build_properties, mapping_delta
+    from go_mysql_transfer_ray.functions.coerce import ColumnSpec
+    from go_mysql_transfer_ray.rules import RuleConfig, RulePlan
+
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="a,b,c,d",
+            default_column_values="src=x",
+            primary_keys=("a",),
+        ),
+        [
+            ColumnSpec("a", "number"),
+            ColumnSpec("b", "float"),
+            ColumnSpec("c", "datetime"),
+            ColumnSpec("d", "string"),
+        ],
+    )
+    props = build_properties(plan, es_mappings=[{"field": "d", "type": "text", "analyzer": "ik"}])
+    assert props["a"] == {"type": "long"}
+    assert props["b"] == {"type": "float"}
+    assert props["c"] == {"type": "date", "format": "yyyy-MM-dd HH:mm:ss"}
+    assert props["d"] == {"type": "text", "analyzer": "ik"}  # override wins
+    assert props["src"] == {"type": "keyword"}
+    delta = mapping_delta({"a": {"type": "long"}, "b": {"type": "float"}}, props)
+    assert set(delta) == {"c", "d", "src"}  # add-only, never mutates existing
