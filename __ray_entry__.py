@@ -110,6 +110,46 @@ def q_cdc_last_state_per_user(sf_dir: str) -> pa.Table:
     )
 
 
+def q_mongo_fieldwise_state(sf_dir: str):
+    """K2 Mongo $set partial-update semantics: purchase=insert (full doc),
+    error=delete, others=update carrying ONLY the value field — the final
+    event_type must survive from the insert (a full-image LWW would null
+    it), value comes from the last setter."""
+    from go_mysql_transfer_ray.stages.merge import fieldwise_merged_dataset
+
+    def to_changes(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        is_ins = pc.equal(et, "purchase")
+        is_del = pc.equal(et, "error")
+        op = pc.if_else(
+            is_ins, pa.scalar("insert"),
+            pc.if_else(is_del, pa.scalar("delete"), pa.scalar("update")),
+        )
+        return pa.table(
+            {
+                "key": pc.cast(t.column("user_id"), pa.string()),
+                "gtid": t.column("event_id"),
+                "seq_in_txn": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "op": op,
+                "user_id": t.column("user_id"),
+                # partial update: event_type only present on inserts
+                "event_type": pc.if_else(is_ins, et, pa.scalar(None, pa.string())),
+                "value": t.column("value"),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        .map_batches(to_changes, batch_format="pyarrow")
+    )
+    return fieldwise_merged_dataset(
+        ds, num_partitions=16, final_columns=["user_id", "event_type", "value"]
+    )
+
+
 def q_metrics_action_counts(sf_dir: str):
     """Per-action counters (T10/A1 metrics parity)."""
     return (
@@ -621,6 +661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_repos": q_cdc_replay_repos,
         "cdc_last_state_per_user": q_cdc_last_state_per_user,
+        "mongo_fieldwise_state": q_mongo_fieldwise_state,
         "metrics_action_counts": q_metrics_action_counts,
         "stock_projection_rule": q_stock_projection_rule,
         "composite_key_lineitem": q_composite_key_lineitem,
@@ -664,6 +705,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, event_id, event_type, value
             FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "mongo_fieldwise_state": """
+            WITH base AS (
+                SELECT user_id, event_id, event_type, value,
+                       CASE WHEN event_type = 'error' THEN 'delete'
+                            WHEN event_type = 'purchase' THEN 'insert'
+                            ELSE 'update' END AS op
+                FROM events
+            ),
+            last_ins AS (
+                SELECT user_id, max(event_id) AS li FROM base
+                WHERE op = 'insert' GROUP BY user_id
+            ),
+            last_del AS (
+                SELECT user_id, max(event_id) AS ld FROM base
+                WHERE op = 'delete' GROUP BY user_id
+            ),
+            alive AS (
+                SELECT i.user_id, i.li FROM last_ins i
+                LEFT JOIN last_del d ON i.user_id = d.user_id
+                WHERE d.ld IS NULL OR i.li > d.ld
+            ),
+            lastv AS (
+                SELECT b.user_id, b.value,
+                       row_number() OVER (PARTITION BY b.user_id ORDER BY b.event_id DESC) AS rn
+                FROM base b JOIN alive a
+                  ON b.user_id = a.user_id AND b.event_id >= a.li AND b.op <> 'delete'
+            )
+            SELECT a.user_id, 'purchase' AS event_type, v.value
+            FROM alive a JOIN lastv v ON v.user_id = a.user_id AND v.rn = 1
         """,
         "metrics_action_counts": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type

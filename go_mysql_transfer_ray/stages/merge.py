@@ -142,3 +142,85 @@ def final_merge(group: pa.Table, *, final_columns: list[str] | None) -> pa.Table
     if final_columns is None:
         final_columns = [c for c in t.column_names if c not in INTERNAL_COLUMNS]
     return t.select(final_columns)
+
+
+# ---------------------------------------------------------------------------
+# field-wise merge — Mongo $set partial-update semantics (K2)
+
+
+def _segment_last(values: np.ndarray, seg_start: np.ndarray) -> np.ndarray:
+    return np.maximum.reduceat(values, seg_start)
+
+
+def fieldwise_final_merge(
+    group: pa.Table, *, final_columns: list[str]
+) -> pa.Table:
+    """Per-key ordered fold with PARTIAL updates, fully vectorized.
+
+    The reference's Mongo sink applies updates as ``UpdateOne({$set:
+    doc})`` by ``_id`` (/root/reference/service/endpoint/mongo.go:166-190)
+    — an update only overwrites the fields it carries; inserts replace
+    the whole document; deletes remove it; an update on a missing key is
+    a no-op (no upsert outside the Lua path).  Null fields in an update
+    row mean "not set".
+
+    Unlike the full-image LWW merge, this fold is NOT block-prereducible
+    (dropping an intermediate update would lose a field), so the plan
+    partitions WITHOUT the combiner and folds whole partitions here.
+    Column value resolution per key: the last non-null occurrence at or
+    after the key's last insert; key alive iff last insert outlives the
+    last delete.
+    """
+    n = group.num_rows
+    if n == 0:
+        return group.select([c for c in final_columns if c in group.column_names])
+    k = group.column("key")
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    gtid = group.column("gtid").to_numpy(zero_copy_only=False)
+    seq = group.column("seq_in_txn").to_numpy(zero_copy_only=False)
+    order = np.lexsort((seq, gtid, codes))
+    t = group.take(pa.array(order))
+    oc = codes[order]
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = oc[1:] != oc[:-1]
+    seg_start = np.flatnonzero(new_seg)
+    seg_id = np.cumsum(new_seg) - 1
+    idx = np.arange(n, dtype=np.int64)
+
+    op = t.column("op").to_numpy(zero_copy_only=False)
+    is_ins = op == "insert"
+    is_del = op == "delete"
+    li = _segment_last(np.where(is_ins, idx, -1), seg_start)
+    ld = _segment_last(np.where(is_del, idx, -1), seg_start)
+    alive = (li >= 0) & (li > ld)
+
+    out_cols: dict[str, pa.Array] = {}
+    setter = is_ins | (op == "update")
+    for c in final_columns:
+        col = t.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        non_null = ~np.asarray(pc.is_null(col))
+        cand = setter & non_null & (idx >= li[seg_id])
+        win = _segment_last(np.where(cand, idx, -1), seg_start)
+        wa = win[alive]
+        taken = col.take(pa.array(np.where(wa >= 0, wa, 0)))
+        out_cols[c] = pc.if_else(
+            pa.array(wa >= 0), taken, pa.scalar(None, col.type)
+        )
+    return pa.table(out_cols)
+
+
+def fieldwise_merged_dataset(ds, num_partitions: int, final_columns: list[str]):
+    """Dataset plan for the field-wise merge: hash-partition by key (NO
+    combiner — see fieldwise_final_merge) then fold each partition."""
+    import functools
+
+    part = ds.map_batches(
+        lambda t: add_partition_column(t, num_partitions), batch_format="pyarrow"
+    )
+    fm = functools.partial(fieldwise_final_merge, final_columns=final_columns)
+    return part.groupby("_part").map_groups(fm, batch_format="pyarrow")
