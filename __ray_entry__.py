@@ -433,6 +433,45 @@ def q_date_format_orders(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_window_daily_stats(sf_dir: str):
+    """Tumbling-window aggregate (combiner pattern; exact integer cents)."""
+    from go_mysql_transfer_ray.pipelines.windows import tumbling_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    return tumbling_aggregate(
+        ds, ts_col="ts", key_col="event_type", value_col="value", window="day"
+    )
+
+
+def q_asof_last_purchase(sf_dir: str):
+    """As-of join along event time per user: every event takes the most
+    recent purchase value at-or-before it."""
+    from go_mysql_transfer_ray.pipelines.windows import asof_forward_fill
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_purchase", pc.equal(t.column("event_type"), "purchase")
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        .map_batches(prep, batch_format="pyarrow")
+    )
+    return asof_forward_fill(
+        ds,
+        key_col="user_id",
+        order_col="event_id",
+        build_mask_col="is_purchase",
+        value_col="value",
+    ).select_columns(["event_id", "user_id", "asof_value"])
+
+
 def q_doc_token_counts(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -673,6 +712,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lookup_join_nation": q_lookup_join_nation,
         "tpch_q1ish": q_tpch_q1ish,
         "date_format_orders": q_date_format_orders,
+        "window_daily_stats": q_window_daily_stats,
+        "asof_last_purchase": q_asof_last_purchase,
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
@@ -777,6 +818,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "window_daily_stats": """
+            SELECT date_trunc('day', ts) AS window_start, event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "asof_last_purchase": """
+            SELECT event_id, user_id,
+                   LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_value
+            FROM events
         """,
         "date_format_orders": """
             SELECT o_orderkey,

@@ -1,0 +1,139 @@
+"""Windowed aggregates + as-of join — streaming-shaped operators.
+
+The reference has no windows (its stream is applied in pure log order,
+SURVEY §2.8); these are the custom operators a large-scale training-data
+/ event pipeline needs, expressed Ray-Data-first:
+
+* ``tumbling_aggregate`` — classic two-phase aggregation: a vectorized
+  per-block partial (window, key) reduce inside ``map_batches`` (the
+  combiner), then a small ``groupby().aggregate(Sum)`` over partials —
+  the shuffle carries O(windows × keys × blocks), not O(events).
+* ``asof_forward_fill`` — as-of join along time within each key: probe
+  rows take the most recent build-row value at-or-before their
+  timestamp.  One hash shuffle by key; within each key-partition the
+  fill is a vectorized forward-fill over the time-sorted union — the
+  same merge-sorted algorithm a two-table as-of join uses (the build
+  side is just a tagged sub-stream).
+
+Partitioning assumption (documented per the build brief): ``key`` must
+be hash-partitionable with per-key data fitting one group task; at
+10^10 scale hot keys would be range-split by time with boundary
+carry-over of the last build value.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data.aggregate import Sum
+
+
+def tumbling_aggregate(
+    ds,
+    *,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window: str = "day",
+    cents: bool = True,
+):
+    """Per (tumbling window, key): row count + exact value sum.
+
+    ``cents=True`` sums integer cents (float sums are not associative —
+    the same exactness trick as tpch_q1ish)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t.column(ts_col), unit=window)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        v = np.rint(vals * 100).astype(np.int64) if cents else vals
+        df = pd.DataFrame(
+            {
+                "window_start": w.to_pandas(),
+                key_col: t.column(key_col).to_pandas(),
+                "v": v,
+            }
+        )
+        g = (
+            df.groupby(["window_start", key_col], sort=False)
+            .agg(n=("v", "size"), sum_cents=("v", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", key_col])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+def asof_forward_fill(
+    ds,
+    *,
+    key_col: str,
+    order_col: str,
+    build_mask_col: str,
+    value_col: str,
+    out_col: str = "asof_value",
+    num_partitions: int = 16,
+):
+    """As-of join along ``order_col`` within each key.
+
+    Every row is a probe; rows where ``build_mask_col`` is true are also
+    build rows.  Each probe gets the build row's ``value_col`` with the
+    greatest ``order_col`` at-or-before its own (inclusive).  Returns the
+    input columns + ``out_col``."""
+
+    def fill(group: pa.Table) -> pa.Table:
+        k = group.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ordv = group.column(order_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ordv, codes))
+        t = group.take(pa.array(order))
+        oc = codes[order]
+        n = t.num_rows
+        is_build = t.column(build_mask_col).to_numpy(zero_copy_only=False).astype(bool)
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = oc[1:] != oc[:-1]
+        # forward-fill: index of the last build row at-or-before each row,
+        # resetting at key boundaries
+        idx = np.arange(n, dtype=np.int64)
+        src = np.where(is_build, idx, -1)
+        src = np.where(new_seg & ~is_build, -1, src)
+        # segment-wise cummax: reset by forcing -1 carriers at boundaries
+        seg_id = np.cumsum(new_seg) - 1
+        # offset trick: add seg_id * n so cummax can't cross segments
+        carrier = np.where(src >= 0, src + seg_id * n, seg_id * n - 1)
+        filled = np.maximum.accumulate(carrier) - seg_id * n
+        out = np.where(filled >= 0, vals[np.clip(filled, 0, n - 1)], np.nan)
+        has = filled >= 0
+        return t.append_column(
+            out_col,
+            pc.if_else(
+                pa.array(has), pa.array(out, pa.float64()), pa.scalar(None, pa.float64())
+            ),
+        )
+
+    from ..stages.merge import key_hash
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key_col)
+        if not pa.types.is_string(k.type if not isinstance(k, pa.ChunkedArray) else k.type):
+            k = pc.cast(k, pa.string())
+        part = (key_hash(k) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(fill, batch_format="pyarrow")
+        .drop_columns(["_part"])
+    )
