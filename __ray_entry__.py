@@ -249,6 +249,29 @@ def q_value_encoder_json(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_value_formatter_template(sf_dir: str):
+    """M8 value_formatter: Go text/template interpolation overrides the
+    encoder (global/rule.go:219-226)."""
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name",
+            value_formatter="c:{{.c_custkey}}-{{.c_name}}",
+            primary_keys=("c_custkey",),
+        ),
+        [ColumnSpec("c_custkey", "number"), ColumnSpec("c_name", "string")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        proj = plan.apply(t)
+        return pa.table(
+            {"c_custkey": t.column("c_custkey"), "encoded": plan.encode_values(proj)}
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def q_value_encoder_vcommas(sf_dir: str):
     """v-commas value encoder (M8): values joined by commas, field order
     pinned to the rule's output order (determinization of the reference's
@@ -707,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_encoder_kv": q_value_encoder_kv,
         "value_encoder_json": q_value_encoder_json,
         "value_encoder_vcommas": q_value_encoder_vcommas,
+        "value_formatter_template": q_value_formatter_template,
         "es_mapping_infer": q_es_mapping_infer,
         "events_filter_project": q_events_filter_project,
         "lookup_join_nation": q_lookup_join_nation,
@@ -797,6 +821,11 @@ def oracle_sql() -> dict[str, str]:
         "value_encoder_json": """
             SELECT c_custkey,
                    '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_name":"' || c_name || '"}' AS encoded
+            FROM customer
+        """,
+        "value_formatter_template": """
+            SELECT c_custkey,
+                   'c:' || CAST(c_custkey AS VARCHAR) || '-' || c_name AS encoded
             FROM customer
         """,
         "value_encoder_vcommas": """

@@ -210,3 +210,37 @@ class RulePlan:
         else:
             out = ["" for _ in rows]
         return pa.array(out, pa.string())
+
+
+def expand_rules(
+    configs: "list[RuleConfig]", tables: "list[str]"
+) -> dict[str, RuleConfig]:
+    """Wildcard rule expansion (S6) — the reference matches regex table
+    names against information_schema and deep-clones the rule per concrete
+    table (/root/reference/service/transfer_service.go:206-246, clone at
+    /root/reference/global/rule.go:135-148).  Here ``tables`` is the known
+    table list; a config whose ``table`` is a regex (contains chars that
+    ``re.escape`` would quote) expands to one config per match.  Returns
+    ``{table_name: RuleConfig}``; ``table='*'`` is rejected exactly like
+    the reference (transfer_service.go:209-211)."""
+    import copy
+    import re
+
+    out: dict[str, RuleConfig] = {}
+    seen_wildcards: set[str] = set()
+    for rc in configs:
+        if rc.table == "*":
+            raise ValueError("wildcard * is not allowed for table name")
+        if re.escape(rc.table) != rc.table:  # regex table name
+            if rc.table in seen_wildcards:
+                raise ValueError(f"duplicate wildcard table defined for {rc.table}")
+            seen_wildcards.add(rc.table)
+            pat = re.compile(rc.table)
+            for t in tables:
+                if pat.fullmatch(t):
+                    clone = copy.deepcopy(rc)
+                    clone.table = t
+                    out[t.lower()] = clone  # rule key is lower-cased (rule.go:150-152)
+        else:
+            out[rc.table.lower()] = rc
+    return out

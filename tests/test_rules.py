@@ -224,3 +224,23 @@ def test_es_mapping_inference_and_delta():
     assert props["src"] == {"type": "keyword"}
     delta = mapping_delta({"a": {"type": "long"}, "b": {"type": "float"}}, props)
     assert set(delta) == {"c", "d", "src"}  # add-only, never mutates existing
+
+
+def test_wildcard_rule_expansion():
+    """S6: regex table names expand to deep-cloned per-table rules."""
+    import pytest as _pytest
+
+    from go_mysql_transfer_ray.rules import RuleConfig, expand_rules
+
+    rc = RuleConfig(table=r"logs_\d+", include_columns="a,b")
+    plain = RuleConfig(table="Users", include_columns="c")
+    out = expand_rules([rc, plain], ["logs_1", "logs_22", "logsX", "users"])
+    assert set(out) == {"logs_1", "logs_22", "users"}
+    assert out["logs_1"].table == "logs_1" and out["logs_22"].table == "logs_22"
+    # clones are independent
+    out["logs_1"].include_columns = "changed"
+    assert out["logs_22"].include_columns == "a,b"
+    with _pytest.raises(ValueError):
+        expand_rules([RuleConfig(table="*")], ["t"])
+    with _pytest.raises(ValueError):
+        expand_rules([rc, RuleConfig(table=r"logs_\d+")], ["logs_1"])
