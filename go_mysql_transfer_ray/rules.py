@@ -212,35 +212,49 @@ class RulePlan:
         return pa.array(out, pa.string())
 
 
+# the exact character set Go's regexp.QuoteMeta escapes — Python's
+# re.escape quotes more (e.g. '-', '#'), which would misclassify literal
+# table names as wildcards
+_GO_REGEX_SPECIAL = set(r"\.+*?()|[]{}^$")
+
+
 def expand_rules(
     configs: "list[RuleConfig]", tables: "list[str]"
 ) -> dict[str, RuleConfig]:
     """Wildcard rule expansion (S6) — the reference matches regex table
     names against information_schema and deep-clones the rule per concrete
     table (/root/reference/service/transfer_service.go:206-246, clone at
-    /root/reference/global/rule.go:135-148).  Here ``tables`` is the known
-    table list; a config whose ``table`` is a regex (contains chars that
-    ``re.escape`` would quote) expands to one config per match.  Returns
-    ``{table_name: RuleConfig}``; ``table='*'`` is rejected exactly like
-    the reference (transfer_service.go:209-211)."""
+    /root/reference/global/rule.go:135-148).  ``tables`` is the known
+    table list.  Parity details:
+
+    * wildcard detection = Go ``regexp.QuoteMeta`` semantics (a table is
+      a regex iff it contains one of ``\\.+*?()|[]{}^$``);
+    * matching = MySQL ``RLIKE`` semantics (transfer_service.go:222-224):
+      UNANCHORED, case-insensitive substring regex;
+    * every registered rule is a deep clone (both branches clone in the
+      reference, transfer_service.go:227-246);
+    * ``table='*'`` is rejected (transfer_service.go:209-211); duplicate
+      registrations are last-wins (the reference's ``wildcards``
+      duplicate-guard map is dead code — it is never written to,
+      transfer_service.go:207,214).
+
+    Returns ``{lower(table_name): RuleConfig}`` (rule keys are
+    lower-cased, rule.go:150-152)."""
     import copy
     import re
 
     out: dict[str, RuleConfig] = {}
-    seen_wildcards: set[str] = set()
     for rc in configs:
         if rc.table == "*":
             raise ValueError("wildcard * is not allowed for table name")
-        if re.escape(rc.table) != rc.table:  # regex table name
-            if rc.table in seen_wildcards:
-                raise ValueError(f"duplicate wildcard table defined for {rc.table}")
-            seen_wildcards.add(rc.table)
-            pat = re.compile(rc.table)
+        if _GO_REGEX_SPECIAL & set(rc.table):  # regex table name
+            pat = re.compile(rc.table, re.IGNORECASE)
             for t in tables:
-                if pat.fullmatch(t):
+                if pat.search(t):
                     clone = copy.deepcopy(rc)
                     clone.table = t
-                    out[t.lower()] = clone  # rule key is lower-cased (rule.go:150-152)
+                    out[t.lower()] = clone
         else:
-            out[rc.table.lower()] = rc
+            clone = copy.deepcopy(rc)
+            out[rc.table.lower()] = clone
     return out

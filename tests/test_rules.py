@@ -227,20 +227,33 @@ def test_es_mapping_inference_and_delta():
 
 
 def test_wildcard_rule_expansion():
-    """S6: regex table names expand to deep-cloned per-table rules."""
-    import pytest as _pytest
-
-    from go_mysql_transfer_ray.rules import RuleConfig, expand_rules
+    """S6: regex table names expand to deep-cloned per-table rules with
+    MySQL RLIKE match semantics (unanchored, case-insensitive)."""
+    from go_mysql_transfer_ray.rules import expand_rules
 
     rc = RuleConfig(table=r"logs_\d+", include_columns="a,b")
     plain = RuleConfig(table="Users", include_columns="c")
-    out = expand_rules([rc, plain], ["logs_1", "logs_22", "logsX", "users"])
-    assert set(out) == {"logs_1", "logs_22", "users"}
-    assert out["logs_1"].table == "logs_1" and out["logs_22"].table == "logs_22"
-    # clones are independent
+    out = expand_rules(
+        [rc, plain], ["logs_1", "app_Logs_22", "logsX", "users"]
+    )
+    # RLIKE: substring + case-insensitive → app_Logs_22 matches too
+    assert set(out) == {"logs_1", "app_logs_22", "users"}
+    assert out["app_logs_22"].table == "app_Logs_22"
+    # every registered rule is a deep clone — both branches
     out["logs_1"].include_columns = "changed"
-    assert out["logs_22"].include_columns == "a,b"
-    with _pytest.raises(ValueError):
+    assert out["app_logs_22"].include_columns == "a,b"
+    out["users"].include_columns = "mutated"
+    assert plain.include_columns == "c"
+    # a literal name with a char Python's re.escape would quote (but Go's
+    # QuoteMeta would not) stays a plain table
+    dash = expand_rules([RuleConfig(table="my-table")], [])
+    assert set(dash) == {"my-table"}
+    # duplicates are last-wins (reference's guard map is dead code)
+    last = expand_rules(
+        [RuleConfig(table=r"logs_\d+", value_encoder="json"),
+         RuleConfig(table=r"logs_.*", value_encoder="kv-commas")],
+        ["logs_1"],
+    )
+    assert last["logs_1"].value_encoder == "kv-commas"
+    with pytest.raises(ValueError):
         expand_rules([RuleConfig(table="*")], ["t"])
-    with _pytest.raises(ValueError):
-        expand_rules([rc, RuleConfig(table=r"logs_\d+")], ["logs_1"])
