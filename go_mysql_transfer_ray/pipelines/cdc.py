@@ -219,7 +219,7 @@ def replay(
     """
     facts = stream_facts(events_dir)
     watermark = facts["watermark"]
-    ddl_gtid = facts["ddl_events"][0]["gtid"] if facts["ddl_events"] else None
+    ddl_gtid = [d["gtid"] for d in facts["ddl_events"]] or None
 
     if rule_config is not None:
         if udf is not None:
@@ -283,9 +283,23 @@ def replay(
             for d in facts["ddl_events"]
             if d and d.get("add_column")
         }
-        want = ["key", "gtid", "seq_in_txn", "op", *(final_cols or [])]
+        base_schema = read_lake(base_dir).schema().base_schema
+        missing = {"repo", "path"} - set(base_schema.names)
+        if missing:
+            raise ValueError(
+                f"base_dir lake lacks the key columns {sorted(missing)} — "
+                "stock_import must preserve repo/path for the merge key"
+            )
+        if final_cols is None:
+            # UDF path: final columns are data-derived; pass the base rows
+            # through untouched (the delta read null-promotes schemas)
+            want = None
+        else:
+            want = ["key", "gtid", "seq_in_txn", "op", *final_cols]
 
         def pad(t: pa.Table) -> pa.Table:
+            if want is None:
+                return t
             cols = {}
             for c in want:
                 if c in t.column_names:
@@ -310,10 +324,26 @@ def replay(
     # independent task per partition reduces + writes final + manifest.
     # No Sort operator — the merge needs co-location, not order.
     shuffle_dir = os.path.join(out_dir, "_shuffle")
+    # the plan signature makes stale deltas from a crashed run with a
+    # DIFFERENT transform/rule/udf detectable — payloads differ even when
+    # watermark and partition count match
+    plan_sig = repr(
+        (
+            rule_config,
+            getattr(udf, "__qualname__", None) if udf else None,
+            getattr(transform, "__qualname__", None) if transform else None,
+            base_dir,
+            final_cols,
+        )
+    )
     shfl.prepare_shuffle_dir(
         shuffle_dir,
         num_partitions,
-        {"watermark": watermark, "num_partitions": num_partitions},
+        {
+            "watermark": watermark,
+            "num_partitions": num_partitions,
+            "plan": plan_sig,
+        },
     )
     ds.map_batches(
         shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
@@ -362,5 +392,6 @@ def read_lake(out_dir: str) -> "ray.data.Dataset":
 def lake_table(out_dir: str) -> pa.Table:
     """Driver-side full read of the (small) converged table — tests only."""
     files = sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
-    tabs = [pq.read_table(f) for f in files if pq.read_metadata(f).num_rows >= 0]
-    return pa.concat_tables([t for t in tabs], promote_options="default")
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )

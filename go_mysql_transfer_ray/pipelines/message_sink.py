@@ -105,7 +105,7 @@ def message_stream(
     """Decode + rule + envelope — returns the message Dataset (no shuffle)."""
     rule_config = rule_config or RuleConfig()
     facts = stream_facts(events_dir)
-    ddl_gtid = facts["ddl_events"][0]["gtid"] if facts["ddl_events"] else None
+    ddl_gtid = [d["gtid"] for d in facts["ddl_events"]] or None
     keep_before = rule_config.reserve_raw_data
     ds = ray.data.read_parquet(event_files(events_dir))
     ds = ds.map_batches(

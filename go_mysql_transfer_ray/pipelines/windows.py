@@ -48,20 +48,25 @@ def tumbling_aggregate(
     def partial(t: pa.Table) -> pa.Table:
         w = pc.floor_temporal(t.column(ts_col), unit=window)
         vals = t.column(value_col).to_numpy(zero_copy_only=False)
-        v = np.rint(vals * 100).astype(np.int64) if cents else vals
+        # SQL semantics: SUM skips nulls, COUNT(*) counts every row —
+        # and np.rint(NaN).astype(int64) would silently produce INT64_MIN
+        valid = ~np.isnan(vals)
+        safe = np.where(valid, vals, 0.0)
+        v = np.rint(safe * 100).astype(np.int64) if cents else safe
         df = pd.DataFrame(
             {
                 "window_start": w.to_pandas(),
                 key_col: t.column(key_col).to_pandas(),
-                "v": v,
+                "v": np.where(valid, v, 0),
             }
         )
         g = (
-            df.groupby(["window_start", key_col], sort=False)
+            df.groupby(["window_start", key_col], sort=False, dropna=False)
             .agg(n=("v", "size"), sum_cents=("v", "sum"))
             .reset_index()
         )
         g["n"] = g["n"].astype(np.int64)
+        g["sum_cents"] = g["sum_cents"].astype(np.int64 if cents else np.float64)
         return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
@@ -94,11 +99,14 @@ def asof_forward_fill(
             k = k.combine_chunks()
         codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
         ordv = group.column(order_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ordv, codes))
+        build_np = group.column(build_mask_col).to_numpy(zero_copy_only=False)
+        # tertiary key: builds BEFORE probes at equal order_col, so the
+        # documented inclusive at-or-before semantics are deterministic
+        order = np.lexsort((np.where(build_np, 0, 1), ordv, codes))
         t = group.take(pa.array(order))
         oc = codes[order]
         n = t.num_rows
-        is_build = t.column(build_mask_col).to_numpy(zero_copy_only=False).astype(bool)
+        is_build = build_np[order].astype(bool)
         vals = t.column(value_col).to_numpy(zero_copy_only=False)
         new_seg = np.empty(n, dtype=bool)
         new_seg[0] = True
@@ -107,7 +115,6 @@ def asof_forward_fill(
         # resetting at key boundaries
         idx = np.arange(n, dtype=np.int64)
         src = np.where(is_build, idx, -1)
-        src = np.where(new_seg & ~is_build, -1, src)
         # segment-wise cummax: reset by forcing -1 carriers at boundaries
         seg_id = np.cumsum(new_seg) - 1
         # offset trick: add seg_id * n so cummax can't cross segments
@@ -126,7 +133,7 @@ def asof_forward_fill(
 
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key_col)
-        if not pa.types.is_string(k.type if not isinstance(k, pa.ChunkedArray) else k.type):
+        if not pa.types.is_string(k.type):
             k = pc.cast(k, pa.string())
         part = (key_hash(k) % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("_part", pa.array(part, pa.int32()))

@@ -499,7 +499,17 @@ def materialize_events(
             },
             f,
         )
-    os.replace(tmp, out)
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        # concurrent generator won the race and committed the same cache;
+        # ours is byte-identical (pure function of cfg) — discard it
+        if os.path.exists(meta_path):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
     return out
 
 

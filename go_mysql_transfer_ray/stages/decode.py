@@ -21,6 +21,7 @@ Stateless — runs as plain ``map_batches`` tasks over pyarrow batches.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -33,15 +34,16 @@ def decode_batch(
     batch: pa.Table,
     *,
     table: str = TABLE_NAME,
-    ddl_gtid: int | None = None,
+    ddl_gtid: "int | list[int] | None" = None,
     keep_before: bool = False,
 ) -> pa.Table:
     """Decode one Arrow batch of raw events into flat change rows.
 
-    ``ddl_gtid``: gtid of the stream's ALTER (None = no DDL) — determines
-    the expected arity on either side of it.  DDL rows themselves are
-    dropped here (their effect is carried via ``ddl_gtid``, extracted by a
-    cheap pruned pre-read in the pipeline driver — see pipelines/cdc.py).
+    ``ddl_gtid``: gtid(s) of the stream's ALTERs (None = no DDL) — each
+    one widens the expected arity by one column for rows after it.  DDL
+    rows themselves are dropped here (their effect is carried via
+    ``ddl_gtid``, extracted by a cheap pruned pre-read in the pipeline
+    driver — see pipelines/cdc.py).
     """
     op = batch.column("op")
     keep = pc.and_(
@@ -49,16 +51,27 @@ def decode_batch(
         pc.not_equal(op, pa.scalar("ddl")),
     )
 
-    # arity guard: expected width flips at the DDL transaction
+    # arity guard: expected width grows by one at each DDL transaction
     if ddl_gtid is None:
-        expected = pa.scalar(BASE_WIDTH, pa.int32())
-        arity_ok = pc.equal(batch.column("col_count"), expected)
+        ddl_gtids: list[int] = []
+    elif isinstance(ddl_gtid, int):
+        ddl_gtids = [ddl_gtid]
     else:
-        post = pc.greater(batch.column("gtid"), pa.scalar(ddl_gtid, pa.int64()))
-        expected = pc.if_else(
-            post, pa.scalar(BASE_WIDTH + 1, pa.int32()), pa.scalar(BASE_WIDTH, pa.int32())
+        ddl_gtids = sorted(ddl_gtid)
+    if not ddl_gtids:
+        arity_ok = pc.equal(
+            batch.column("col_count"), pa.scalar(BASE_WIDTH, pa.int32())
         )
-        arity_ok = pc.equal(batch.column("col_count"), expected)
+    else:
+        gtid = batch.column("gtid").to_numpy(zero_copy_only=False)
+        # no change event shares a DDL's transaction, so strict < counts
+        # the ALTERs already applied at each row's position
+        expected = BASE_WIDTH + np.searchsorted(
+            np.asarray(ddl_gtids, dtype=np.int64), gtid, side="left"
+        ).astype(np.int32)
+        arity_ok = pc.equal(
+            batch.column("col_count"), pa.array(expected, pa.int32())
+        )
     keep = pc.and_(keep, arity_ok)
     t = batch.filter(keep)
 

@@ -122,7 +122,12 @@ class RuleEngine:
                 for op_ in ret:
                     keep_idx.append(i)
                     out_rows.append(op_.row if op_.row is not None else row)
-                    out_actions.append("delete" if op_.action == "delete" else act if op_.action == "upsert" else op_.action)
+                    # upsert = write regardless of the triggering action
+                    # (the Lua path upserts even on deletes,
+                    # /root/reference/service/luaengine/mongo_actuator.go:77-91)
+                    out_actions.append(
+                        "insert" if op_.action == "upsert" else op_.action
+                    )
                     out_keys.append(op_.key if op_.key is not None else keys[i])
         if not out_rows:  # whole batch filtered: keep a stable empty schema
             empty_meta = {n: c.slice(0, 0) for n, c in meta.items()}

@@ -53,6 +53,8 @@ class DeltaWriter:
         self.shuffle_dir = shuffle_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"_rows": pa.array([0], pa.int64())})
         part = batch.column("_part").to_numpy()
         order = np.argsort(part, kind="stable")
         t = batch.take(pa.array(order))

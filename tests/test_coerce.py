@@ -92,3 +92,26 @@ def test_dsl_quirks():
     assert to_strftime("yyyy-MM-dd") == "%Y-%M-%d"  # the reference quirk!
     assert to_strftime("hh:MM tt") == "%I:%M %p"
     assert to_strftime("MMM dd, yyyy") == "%b %d, %Y"
+
+
+def test_arity_guard_multi_ddl():
+    """Width grows by one at EACH DDL (review regression: second DDL's
+    rows must not be dropped)."""
+    import pyarrow as pa
+
+    from go_mysql_transfer_ray.schema import DDL_TYPE, EVENT_SCHEMA, ROW_IMAGE_TYPE, TABLE_NAME
+    from go_mysql_transfer_ray.stages.decode import decode_batch
+
+    def ev(gtid, cc):
+        img = {"repo": "r", "path": "p", "commit": "c", "lang": "go",
+               "content": "x", "stars": None}
+        return {
+            "gtid": gtid, "seq_in_txn": 0, "pos": gtid, "op": "insert",
+            "table": TABLE_NAME, "ts": 1700000000, "col_count": cc,
+            "before": None, "after": img, "ddl": None,
+        }
+
+    rows = [ev(1, 5), ev(10, 6), ev(20, 7), ev(21, 6)]  # last = stale arity
+    batch = pa.Table.from_pylist(rows, schema=EVENT_SCHEMA)
+    out = decode_batch(batch, ddl_gtid=[5, 15])
+    assert out.column("gtid").to_pylist() == [1, 10, 20]

@@ -149,3 +149,32 @@ def test_message_sink_kv_encoder(tmp_path):
         date = env["date"]
         assert isinstance(date, str) and date.startswith("repo=")
         assert ",lang=" in date
+
+
+def test_udf_upsert_on_delete_keeps_row(tmp_path):
+    """A UDF emitting SinkOp(action='upsert') for a DELETE event must
+    write the row, not tombstone it (Lua mongo upsert analogue,
+    /root/reference/service/luaengine/mongo_actuator.go:77-91)."""
+    from go_mysql_transfer_ray.stages.rule_engine import SinkOp
+
+    cfg = BinlogConfig(num_keys=60, avg_events_per_key=4.0, delete_pct=40)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+
+    def udf(row, old, act, ctx):
+        if act == "delete":
+            return [SinkOp(action="upsert", key=None, row={**row, "lang": "tomb"})]
+        return row
+
+    out = str(tmp_path / "lake")
+    cdc.replay(
+        events_dir, out, num_partitions=8,
+        rule_config=RuleConfig(reserve_raw_data=True), udf=udf,
+    )
+    engine = cdc.lake_table(out)
+    ora = oracle.replay_full(generate(cfg).table)
+    # every key ever seen must be present: deleted keys as 'tomb' rows
+    langs = {r["repo"] + r["path"]: r["lang"] for r in engine.to_pylist()}
+    deleted = set(langs) - set(ora)
+    assert deleted, "fixture should contain finally-deleted keys"
+    assert all(langs[k] == "tomb" for k in deleted)
+    assert set(ora) <= set(langs)
