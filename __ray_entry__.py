@@ -525,6 +525,14 @@ def q_doc_quality(sf_dir: str):
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
 
 
+def q_train_test_split(sf_dir: str):
+    return datapipe.train_test_split(_docs(sf_dir))
+
+
+def q_pack_sequences(sf_dir: str):
+    return datapipe.pack_sequences(_docs(sf_dir), capacity=512)
+
+
 def q_dedup_exact(sf_dir: str):
     return datapipe.exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
@@ -741,6 +749,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
+        "train_test_split": q_train_test_split,
+        "pack_sequences": q_pack_sequences,
         "group_lang_stats": q_group_lang_stats,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
@@ -933,6 +943,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket,
+                   CASE WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 800 THEN 'train'
+                        WHEN ((doc_id * 2654435761) % 4294967296) % 1000 < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         "group_lang_stats": """
             SELECT lang, count(*) AS n_docs,

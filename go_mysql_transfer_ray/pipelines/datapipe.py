@@ -603,3 +603,80 @@ def ivf_ann(
 
     pruned = ds.map_batches(filter_lists, batch_format="pyarrow")
     return ann_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# training-data utilities: deterministic splits + sequence packing
+
+
+def train_test_split(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    train_permille: int = 800,
+    val_permille: int = 100,
+) -> "ray.data.Dataset":
+    """Deterministic hash split: Knuth multiplicative hash of the id →
+    permille bucket → train/val/test label.  Pure function of the id —
+    stable across runs, machines, and partitionings (and simple enough
+    to reproduce in SQL, which is how the driver oracle checks it)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(1000)
+        split = np.where(
+            bucket < train_permille,
+            "train",
+            np.where(bucket < train_permille + val_permille, "val", "test"),
+        )
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 512,
+) -> "ray.data.Dataset":
+    """Greedy sequence packing: assign docs to bins of ≤ ``capacity``
+    tokens for training-batch construction.
+
+    Block-local greedy first-fit in arrival order — bins never span
+    blocks, so packing is embarrassingly parallel and deterministic per
+    block content; ``bin_id`` = the first doc id in the bin (globally
+    unique).  A doc longer than ``capacity`` gets its own bin (callers
+    truncate downstream).  Output: (doc_id, n_tokens, bin_id,
+    offset_in_bin)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ntok = textfn.token_count(t.column(text_col)).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bin_ids = np.empty(len(ids), dtype=np.int64)
+        offsets = np.empty(len(ids), dtype=np.int64)
+        cur_bin = -1
+        cur_fill = 0
+        for i in range(len(ids)):
+            n = int(ntok[i])
+            if cur_bin < 0 or cur_fill + n > capacity:
+                cur_bin = int(ids[i])
+                cur_fill = 0
+            bin_ids[i] = cur_bin
+            offsets[i] = cur_fill
+            cur_fill += n
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_tokens": pa.array(ntok.astype(np.int64)),
+                "bin_id": pa.array(bin_ids),
+                "offset_in_bin": pa.array(offsets),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -187,3 +187,34 @@ def test_ivf_ann_recalls_planted_queries(emb):
         g = out[out["query_id"] == q].sort_values("rank")
         assert int(g.iloc[0]["neighbor_id"]) == int(tab["vec_id"].iloc[q])
         assert g.iloc[0]["cosine"] > 0.999
+
+
+def test_train_test_split_deterministic(docs):
+    out1 = datapipe.train_test_split(docs).to_pandas()
+    out2 = datapipe.train_test_split(docs).to_pandas()
+    assert out1.sort_values("doc_id").reset_index(drop=True).equals(
+        out2.sort_values("doc_id").reset_index(drop=True)
+    )
+    frac = (out1["split"] == "train").mean()
+    assert 0.7 < frac < 0.9  # ~800 permille
+    # label matches bucket exactly
+    for _, r in out1.head(50).iterrows():
+        expected = "train" if r.bucket < 800 else ("val" if r.bucket < 900 else "test")
+        assert r.split == expected
+
+
+def test_pack_sequences_invariants(docs):
+    out = datapipe.pack_sequences(docs, capacity=256).to_pandas()
+    base = docs.to_pandas()
+    assert len(out) == len(base)
+    assert set(out["doc_id"]) == set(base["doc_id"])
+    g = out.groupby("bin_id")
+    for bin_id, grp in g:
+        total = grp["n_tokens"].sum()
+        assert total <= 256 or len(grp) == 1  # oversize doc gets its own bin
+        # offsets are a prefix-sum of token counts within the bin
+        grp = grp.sort_values("offset_in_bin")
+        expect = 0
+        for _, r in grp.iterrows():
+            assert r.offset_in_bin == expect
+            expect += r.n_tokens
