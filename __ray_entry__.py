@@ -714,6 +714,15 @@ def q_redis_set_state(sf_dir: str):
     return structure_state(ds, plan, value_col="event_type")
 
 
+def q_dedup_clusters_distributed(sf_dir: str) -> pa.Table:
+    """Distributed connected components (large-star/small-star) over the
+    planted-duplicate embedding pairs — the scale path replacing the
+    driver union-find."""
+    pairs = q_embedding_dedup(sf_dir)
+    ds = ray.data.from_arrow(pairs.select(["a", "b"]))
+    return datapipe.connected_components(ds).to_pandas()
+
+
 def q_message_envelopes(sf_dir: str):
     cfg = _binlog_cfg(sf_dir)
     events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
@@ -761,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": q_ann_ivf,
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "embedding_dedup": q_embedding_dedup,
+        "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "redis_string_state": q_redis_string_state,
         "redis_hash_state": q_redis_hash_state,
         "redis_zset_state": q_redis_zset_state,

@@ -680,3 +680,149 @@ def pack_sequences(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    max_iterations: int = 20,
+) -> "ray.data.Dataset":
+    """Distributed connected components over an undirected edge list —
+    the scale path for the near-dup clusterers, replacing the driver-side
+    union-find when verified pairs no longer fit one machine.
+
+    Alternating large-star / small-star transformations (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is two ``groupby(node)`` shuffles over the edge set; the edge set
+    converges to a star forest in O(log^2 n) rounds (in practice a
+    handful).  Input: dataset with int64 columns ``a``, ``b``; output:
+    ``(doc_id, cluster_id)`` where cluster_id = min node of the component
+    (matching the union-find convention).
+    """
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return pa.table({"a": pa.array(hi[keep]), "b": pa.array(lo[keep])})
+
+    def both_directions(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    def large_star(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+        # group may hold several nodes: segment by node
+        order = np.argsort(node, kind="stable")
+        node, nbr = node[order], nbr[order]
+        outs_a, outs_b = [], []
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        ends = np.r_[starts[1:], len(node)]
+        for s, e in zip(starts, ends):
+            u = node[s]
+            nb = nbr[s:e]
+            m = min(int(nb.min()), int(u))
+            big = nb[nb > u]
+            outs_a.append(big)
+            outs_b.append(np.full(len(big), m, dtype=np.int64))
+        if not outs_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {"a": pa.array(np.concatenate(outs_a)), "b": pa.array(np.concatenate(outs_b))}
+        )
+
+    def small_star(group: pa.Table) -> pa.Table:
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        nbr = group.column("nbr").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        node, nbr = node[order], nbr[order]
+        outs_a, outs_b = [], []
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        ends = np.r_[starts[1:], len(node)]
+        for s, e in zip(starts, ends):
+            u = int(node[s])
+            nb = nbr[s:e]
+            small = nb[nb <= u]
+            if len(small) == 0:
+                continue
+            m = int(small.min())
+            rest = small[small != m]
+            link = np.r_[rest, [u]]
+            outs_a.append(link)
+            outs_b.append(np.full(len(link), m, dtype=np.int64))
+        if not outs_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table(
+            {"a": pa.array(np.concatenate(outs_a)), "b": pa.array(np.concatenate(outs_b))}
+        )
+
+    def checksum(ds) -> tuple:
+        def h(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+            b = t.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+            x = (a * np.uint64(0x9E3779B1) ^ b * np.uint64(0x85EBCA77))
+            return pa.table({"h": pa.array(x.astype(np.int64)), "n": pa.array(np.ones(len(x), np.int64))})
+
+        agg = ds.map_batches(h, batch_format="pyarrow")
+        return (agg.sum("h"), agg.count())
+
+    edges = pairs.map_batches(canon, batch_format="pyarrow").materialize()
+    prev = None
+    for _ in range(max_iterations):
+        ls = (
+            edges.map_batches(both_directions, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(large_star, batch_format="pyarrow")
+        )
+        combined = ls.union(edges).map_batches(canon, batch_format="pyarrow")
+        ss = (
+            combined.map_batches(both_directions, batch_format="pyarrow")
+            .groupby("node")
+            .map_groups(small_star, batch_format="pyarrow")
+        )
+        edges = (
+            ss.map_batches(canon, batch_format="pyarrow")
+            .groupby(["a", "b"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .materialize()
+        )
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # star forest → labels: every edge (a,b) has b = component root
+    def emit_labels(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b])),
+                "cluster_id": pa.array(np.concatenate([b, b])),
+            }
+        )
+
+    def min_label(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
+        lab = group.column("cluster_id").to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, lab = ids[order], lab[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        mins = np.minimum.reduceat(lab, starts)
+        return pa.table(
+            {"doc_id": pa.array(ids[starts]), "cluster_id": pa.array(mins)}
+        )
+
+    return (
+        edges.map_batches(emit_labels, batch_format="pyarrow")
+        .groupby("doc_id")
+        .map_groups(min_label, batch_format="pyarrow")
+    )

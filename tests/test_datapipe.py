@@ -218,3 +218,34 @@ def test_pack_sequences_invariants(docs):
         for _, r in grp.iterrows():
             assert r.offset_in_bin == expect
             expect += r.n_tokens
+
+
+def test_connected_components_matches_union_find(ray_session):
+    rng = np.random.RandomState(3)
+    # several random components: chain/star/cycle + singletons via id space
+    edges = []
+    base = 0
+    for comp in range(12):
+        size = rng.randint(2, 12)
+        nodes = np.arange(base, base + size)
+        base += size + 3  # gaps → nodes absent from edges stay out
+        # random spanning structure + extra edges
+        for i in range(1, size):
+            edges.append((int(nodes[i]), int(nodes[rng.randint(0, i)])))
+        for _ in range(rng.randint(0, 3)):
+            a, b = rng.choice(nodes, 2, replace=False)
+            edges.append((int(a), int(b)))
+    t = pa.table(
+        {
+            "a": pa.array([e[0] for e in edges], pa.int64()),
+            "b": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    out = datapipe.connected_components(ray.data.from_arrow(t)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+
+    # reference: driver union-find
+    ids = sorted({x for e in edges for x in e})
+    labels = datapipe._union_find_clusters(ids, edges)
+    want = dict(zip(ids, labels))
+    assert got == want
