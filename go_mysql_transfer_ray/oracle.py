@@ -51,11 +51,17 @@ def composite_key(repo: str, path: str) -> str:
     return f"{repo}{path}"
 
 
+BASE_ROW_COLUMNS = ("repo", "path", "commit", "lang", "content")
+
+
 def replay_full(events: pa.Table) -> dict[str, dict]:
     """Replay a full event table sequentially; returns key → final row.
 
-    ``events`` must use ``schema.EVENT_SCHEMA``; rows are processed in
-    ``(gtid, seq_in_txn)`` order regardless of physical order.
+    ``events`` must use the ``schema.event_schema`` shape; rows are
+    processed in ``(gtid, seq_in_txn)`` order regardless of physical
+    order.  Each in-band DDL widens the expected arity by one and adds a
+    column (typed per its ``arrow_type``); rows written before an ALTER
+    get null for columns added later.
     """
     cols = events.select(
         ["gtid", "seq_in_txn", "op", "col_count", "before", "after", "ddl"]
@@ -63,16 +69,14 @@ def replay_full(events: pa.Table) -> dict[str, dict]:
     cols.sort(key=lambda r: (r["gtid"], r["seq_in_txn"]))
 
     state: dict[str, dict] = {}
-    width = BASE_WIDTH
-    has_stars = False
+    added: list[tuple[str, str]] = []  # (column, arrow_type) in DDL order
     for r in cols:
         op = r["op"]
         if op == "ddl":
-            if r["ddl"] and r["ddl"]["add_column"] == "stars":
-                width = BASE_WIDTH + 1
-                has_stars = True
+            if r["ddl"] and r["ddl"].get("add_column"):
+                added.append((r["ddl"]["add_column"], r["ddl"].get("arrow_type", "string")))
             continue
-        if r["col_count"] != width:
+        if r["col_count"] != BASE_WIDTH + len(added):
             continue
         if op == "delete":
             img = r["before"]
@@ -80,28 +84,33 @@ def replay_full(events: pa.Table) -> dict[str, dict]:
             continue
         img = r["after"]
         key = composite_key(img["repo"], img["path"])
-        state[key] = {
-            "repo": img["repo"],
-            "path": img["path"],
-            "commit": img["commit"],
-            "lang": img["lang"],
-            "content": img["content"],
-            "stars": coerce_number(img["stars"]) if has_stars else None,
-        }
-    if not has_stars:
-        for row in state.values():
-            row["stars"] = None
+        row = {c: img[c] for c in BASE_ROW_COLUMNS}
+        for name, atype in added:
+            raw = img.get(name)
+            row[name] = coerce_number(raw) if atype == "int64" else raw
+        state[key] = row
+    # columns added after a key's last write: null-pad (Arrow widening)
+    all_added = [name for name, _ in added]
+    for row in state.values():
+        for name in all_added:
+            row.setdefault(name, None)
+        row["__added__"] = tuple(all_added)
     return state
 
 
-def row_sha256(row: dict) -> str:
-    """Canonical per-row content hash (BASELINE.json invariant)."""
+def row_sha256(row: dict, extra_cols: "tuple[str, ...]" = ("stars",)) -> str:
+    """Canonical per-row content hash (BASELINE.json invariant):
+    base columns + DDL-added columns in ALTER order."""
     parts = []
-    for col in ("repo", "path", "commit", "lang", "content", "stars"):
+    for col in (*BASE_ROW_COLUMNS, *extra_cols):
         v = row.get(col)
         parts.append("\\N" if v is None else str(v))
     return hashlib.sha256("\x1e".join(parts).encode()).hexdigest()
 
 
 def state_hashes(state: dict[str, dict]) -> dict[str, str]:
-    return {k: row_sha256(v) for k, v in state.items()}
+    out = {}
+    for k, v in state.items():
+        extra = v.get("__added__", ("stars",))
+        out[k] = row_sha256(v, extra_cols=extra)
+    return out

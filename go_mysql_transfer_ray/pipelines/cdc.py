@@ -100,6 +100,15 @@ def _final_columns(ddl_events: list[dict]) -> list[str]:
     return cols
 
 
+def _ddl_columns(ddl_events: list[dict]) -> "tuple[tuple[str, str], ...]":
+    """(column, mysql_type) for each DDL-added column, stream order."""
+    return tuple(
+        (d["add_column"], _DDL_TYPE_MAP.get(d.get("arrow_type", "string"), "string"))
+        for d in ddl_events
+        if d and d.get("add_column")
+    )
+
+
 def _stream_specs(ddl_events: list[dict]) -> list[ColumnSpec]:
     """Schema specs after DDL widening — the analogue of the reference's
     rule rebuild on OnTableChanged (/root/reference/service/transfer_service.go:298-326)."""
@@ -249,7 +258,8 @@ def replay(
         udf is not None or rule_config.reserve_raw_data
     )
     ds = ds.map_batches(
-        Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before),
+        Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before,
+                ddl_columns=_ddl_columns(facts["ddl_events"])),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -30,7 +30,7 @@ import ray.data
 from ..functions.encoders import _escape_html_like_go, encode_json
 from ..rules import RuleConfig, RulePlan
 from ..stages.decode import Decoder
-from .cdc import _stream_specs, event_files, stream_facts
+from .cdc import _ddl_columns, _stream_specs, event_files, stream_facts
 
 
 class EnvelopeBuilder:
@@ -109,7 +109,8 @@ def message_stream(
     keep_before = rule_config.reserve_raw_data
     ds = ray.data.read_parquet(event_files(events_dir))
     ds = ds.map_batches(
-        Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before),
+        Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before,
+                ddl_columns=_ddl_columns(facts["ddl_events"])),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

@@ -23,36 +23,39 @@ TABLE_NAME = "repos"
 # Base lake-table columns, per BASELINE.json input_hint.
 BASE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
-# Row image carried by every change event.  ``stars`` is the column added by
-# the mid-stream DDL; it is string-typed here (raw binlog bytes) and null for
-# pre-DDL events.
-ROW_IMAGE_TYPE = pa.struct(
-    [
-        ("repo", pa.string()),
-        ("path", pa.string()),
-        ("commit", pa.string()),
-        ("lang", pa.string()),
-        ("content", pa.string()),
-        ("stars", pa.string()),
-    ]
-)
+# Row image carried by every change event.  DDL-added columns (default:
+# one mid-stream ``stars``) are string-typed here (raw binlog bytes) and
+# null for events before their ALTER.
+def row_image_type(ddl_columns: "tuple[str, ...]" = ("stars",)) -> pa.StructType:
+    return pa.struct(
+        [(c, pa.string()) for c in BASE_COLUMNS]
+        + [(c, pa.string()) for c in ddl_columns]
+    )
+
 
 DDL_TYPE = pa.struct([("add_column", pa.string()), ("arrow_type", pa.string())])
 
-EVENT_SCHEMA = pa.schema(
-    [
-        ("gtid", pa.int64()),        # transaction id (GTID analogue), monotone
-        ("seq_in_txn", pa.int32()),  # order inside the transaction
-        ("pos", pa.int64()),         # global change index (binlog offset analogue)
-        ("op", pa.string()),         # insert | update | delete | ddl
-        ("table", pa.string()),
-        ("ts", pa.timestamp("s")),
-        ("col_count", pa.int32()),   # row-image arity as sent (arity guard M1)
-        ("before", ROW_IMAGE_TYPE),  # BEFORE image: updates + deletes
-        ("after", ROW_IMAGE_TYPE),   # AFTER image: inserts + updates
-        ("ddl", DDL_TYPE),           # only for op='ddl'
-    ]
-)
+
+def event_schema(ddl_columns: "tuple[str, ...]" = ("stars",)) -> pa.Schema:
+    img = row_image_type(ddl_columns)
+    return pa.schema(
+        [
+            ("gtid", pa.int64()),        # transaction id (GTID analogue)
+            ("seq_in_txn", pa.int32()),  # order inside the transaction
+            ("pos", pa.int64()),         # global change index
+            ("op", pa.string()),         # insert | update | delete | ddl
+            ("table", pa.string()),
+            ("ts", pa.timestamp("s")),
+            ("col_count", pa.int32()),   # row-image arity as sent (M1)
+            ("before", img),             # BEFORE image: updates + deletes
+            ("after", img),              # AFTER image: inserts + updates
+            ("ddl", DDL_TYPE),           # only for op='ddl'
+        ]
+    )
+
+
+ROW_IMAGE_TYPE = row_image_type()
+EVENT_SCHEMA = event_schema()
 
 # Decoded (flattened) change-row schema produced by stages.decode — the
 # engine's internal IR.  ``key`` is the reference's separator-less composite

@@ -44,7 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..schema import DDL_TYPE, EVENT_SCHEMA, ROW_IMAGE_TYPE, TABLE_NAME
+from ..schema import DDL_TYPE, EVENT_SCHEMA, ROW_IMAGE_TYPE, TABLE_NAME, event_schema
 
 _U64 = np.uint64
 _P1 = _U64(0x9E3779B97F4A7C15)
@@ -94,11 +94,21 @@ class BinlogConfig:
     hot_repos: int = 1            # first N repo ids get hot_multiplier x events
     hot_multiplier: int = 1       # 1 = no skew; skew fixture uses e.g. 20
     delete_pct: int = 12          # % of non-first events proposed as delete
-    ddl_at: float = 0.5           # fraction of the stream before the DDL
+    ddl_at: float = 0.5           # fraction of the stream before the first DDL
     bad_arity_permille: int = 0   # events emitted with a wrong col_count
     txn_size: int = 8             # events per transaction (XID cadence)
     content_bytes: int = 256      # average content payload size
     base_ts: int = 1_700_000_000  # epoch seconds of the first event
+    # additional mid-stream ALTERs: (column_name, arrow_type, at_fraction);
+    # the first DDL is always ("stars", "int64", ddl_at)
+    extra_ddls: "tuple[tuple[str, str, float], ...]" = ()
+
+    def ddl_specs(self) -> "list[tuple[str, str, float]]":
+        specs = [("stars", "int64", self.ddl_at), *self.extra_ddls]
+        return sorted(specs, key=lambda s: s[2])
+
+    def ddl_column_names(self) -> "tuple[str, ...]":
+        return tuple(s[0] for s in self.ddl_specs())
 
     def fingerprint(self) -> str:
         return hashlib.sha256(
@@ -239,15 +249,23 @@ def generate_shard(
     *,
     e_offset: int,
     n_total: int,
-    p0: int,
+    p0: "int | None" = None,
+    ddl_bounds: "list[tuple[int, str, str]] | None" = None,
 ) -> "tuple[pa.Table, int]":
     """Events of keys [k0, k1) as one Arrow table (+ bad-arity count).
 
     ``e_offset``: global key-major index of key k0's first event;
-    ``n_total``/``p0``: global stream size and DDL boundary (from
-    ``stream_size``).  Output is sorted by ``pos`` within the shard; global
-    order across shards is defined by ``pos`` alone.
+    ``n_total``: global stream size; ``ddl_bounds``: [(pos, column,
+    arrow_type), ...] sorted — each ALTER widens the arity by one and
+    occupies its own transaction.  ``p0`` is the legacy single-DDL form.
+    Output is sorted by ``pos`` within the shard; global order across
+    shards is defined by ``pos`` alone.
     """
+    if ddl_bounds is None:
+        ddl_bounds = (
+            [(p0, "stars", "int64")] if p0 is not None else _ddl_bounds(cfg, n_total)
+        )
+    bound_pos = np.array([b[0] for b in ddl_bounds], dtype=np.int64)
     keys = np.arange(k0, k1, dtype=np.int64)
     repo_id_k, repo_k, path_k, lang_k = _key_attrs(cfg, keys)
     c = _key_counts(cfg, keys)
@@ -287,8 +305,9 @@ def generate_shard(
     assign = np.lexsort((pos_raw, key_idx))
     pos = pos_raw[assign]
 
-    post = pos >= p0
-    gtid = pos // cfg.txn_size + post.astype(np.int64)
+    # every ALTER before a position inserts one extra transaction
+    n_ddls_before = np.searchsorted(bound_pos, pos, side="right").astype(np.int64)
+    gtid = pos // cfg.txn_size + n_ddls_before
     seq = (pos % cfg.txn_size).astype(np.int32)
     ts = cfg.base_ts + pos
 
@@ -304,7 +323,7 @@ def generate_shard(
     before_ver = np.where(op == OP_UPD, ver - 1, ver)
 
     # --- arity ------------------------------------------------------------
-    col_count = np.where(post, 6, 5).astype(np.int32)
+    col_count = (5 + n_ddls_before).astype(np.int32)
     bad = np.zeros(n, dtype=bool)
     if cfg.bad_arity_permille:
         bad = (_h(cfg.seed, 43, key_idx, ordinal) % _U64(1000)) < _U64(
@@ -318,24 +337,21 @@ def generate_shard(
     repo_g = pa.array(repo_e[g], type=pa.string())
     path_g = pa.array(path_e[g], type=pa.string())
     lang_g = pa.array(lang_e[g], type=pa.string())
-    post_g = post[g]
+    pos_g = pos[g]
+    ddl_names = tuple(b[1] for b in ddl_bounds)
+    schema = event_schema(ddl_names)
+    image_type = schema.field("after").type
 
     def _img(mask, vers):
-        """Masked row image; stars raw strings only post-DDL, a permille
-        unparsable → NUMBER-coercion null downstream
+        """Masked row image; DDL-added columns carry raw strings only for
+        events after their ALTER; int64 columns get a permille of
+        unparsable values → NUMBER-coercion null downstream
         (/root/reference/service/endpoint/endpoint.go:180-197)."""
         m = mask[g]
         m_pa = pa.array(m)
         v = vers[g]
         commit = pa.array(_commit_hex(cfg, keys_g, v), type=pa.string())
         content = _content(cfg, repo_g, path_g, keys_g, v)
-        stars_num = (_h(cfg.seed, 41, keys_g, v) % _U64(100_000)).astype(np.int64)
-        stars_bad = (_h(cfg.seed, 42, keys_g, v) % _U64(1000)) < _U64(5)
-        stars = np.where(stars_bad, "notanumber", np.char.mod("%d", stars_num))
-        stars_pa = pc.if_else(
-            pa.array(m & post_g), pa.array(stars, type=pa.string()),
-            pa.scalar(None, pa.string()),
-        )
         null_s = pa.scalar(None, pa.string())
         fields = [
             pc.if_else(m_pa, repo_g, null_s),
@@ -343,10 +359,21 @@ def generate_shard(
             pc.if_else(m_pa, commit, null_s),
             pc.if_else(m_pa, lang_g, null_s),
             pc.if_else(m_pa, content, null_s),
-            stars_pa,
         ]
+        for j, (bpos, name, atype) in enumerate(ddl_bounds):
+            present = pa.array(m & (pos_g >= bpos))
+            if atype == "int64":
+                num = (_h(cfg.seed, 41 + 2 * j, keys_g, v) % _U64(100_000)).astype(np.int64)
+                badv = (_h(cfg.seed, 42 + 2 * j, keys_g, v) % _U64(1000)) < _U64(5)
+                vals = np.where(badv, "notanumber", np.char.mod("%d", num))
+            else:
+                code = (_h(cfg.seed, 41 + 2 * j, keys_g, v) % _U64(7)).astype(np.int64)
+                vals = np.char.add(f"{name}-v", np.char.mod("%d", code))
+            fields.append(
+                pc.if_else(present, pa.array(vals, type=pa.string()), null_s)
+            )
         return pa.StructArray.from_arrays(
-            fields, fields=list(ROW_IMAGE_TYPE), mask=pa.array(~m)
+            fields, fields=list(image_type), mask=pa.array(~m)
         )
 
     op_str = np.array(["insert", "update", "delete"], dtype=object)[op[g]]
@@ -363,51 +390,74 @@ def generate_shard(
             "after": _img(has_after, after_ver),
             "ddl": pa.array([None] * n, type=DDL_TYPE),
         },
-        schema=EVENT_SCHEMA,
+        schema=schema,
     )
     return tbl, int(bad.sum())
 
 
-def _ddl_row(cfg: BinlogConfig, p0: int) -> pa.Table:
-    """The in-band DDL event (its own transaction at the p0 boundary)."""
-    ddl_gtid = p0 // cfg.txn_size
+def _ddl_row(
+    cfg: BinlogConfig, bound: "tuple[int, str, str]", ddl_index: int,
+    ddl_names: "tuple[str, ...]",
+) -> pa.Table:
+    """One in-band DDL event (its own transaction at its boundary)."""
+    p, name, atype = bound
+    schema = event_schema(ddl_names)
+    image_type = schema.field("after").type
     return pa.table(
         {
-            "gtid": pa.array([ddl_gtid], type=pa.int64()),
+            "gtid": pa.array([p // cfg.txn_size + ddl_index], type=pa.int64()),
             "seq_in_txn": pa.array([0], type=pa.int32()),
-            "pos": pa.array([p0], type=pa.int64()),
+            "pos": pa.array([p], type=pa.int64()),
             "op": pa.array(["ddl"], type=pa.string()),
             "table": pa.array([TABLE_NAME], type=pa.string()),
-            "ts": pa.array([cfg.base_ts + p0], type=pa.timestamp("s")),
+            "ts": pa.array([cfg.base_ts + p], type=pa.timestamp("s")),
             "col_count": pa.array([0], type=pa.int32()),
-            "before": pa.array([None], type=ROW_IMAGE_TYPE),
-            "after": pa.array([None], type=ROW_IMAGE_TYPE),
+            "before": pa.array([None], type=image_type),
+            "after": pa.array([None], type=image_type),
             "ddl": pa.array(
-                [{"add_column": "stars", "arrow_type": "int64"}], type=DDL_TYPE
+                [{"add_column": name, "arrow_type": atype}], type=DDL_TYPE
             ),
         },
-        schema=EVENT_SCHEMA,
+        schema=schema,
     )
 
 
-def _ddl_boundary(cfg: BinlogConfig, n: int) -> int:
-    return int(n * cfg.ddl_at) // cfg.txn_size * cfg.txn_size
+def _ddl_bounds(cfg: BinlogConfig, n: int) -> "list[tuple[int, str, str]]":
+    """ALTER boundaries: distinct txn-aligned positions, stream order."""
+    bounds = []
+    used = set()
+    for name, atype, at in cfg.ddl_specs():
+        p = int(n * at) // cfg.txn_size * cfg.txn_size
+        while p in used:  # force distinct transactions
+            p += cfg.txn_size
+        used.add(p)
+        bounds.append((p, name, atype))
+    return sorted(bounds)
 
 
 def generate(cfg: BinlogConfig) -> GeneratedStream:
     """Build the full event stream in memory (tests / small configs)."""
     n = stream_size(cfg)
-    p0 = _ddl_boundary(cfg, n)
+    bounds = _ddl_bounds(cfg, n)
     tbl, n_bad = generate_shard(
-        cfg, 0, cfg.num_keys, e_offset=0, n_total=n, p0=p0
+        cfg, 0, cfg.num_keys, e_offset=0, n_total=n, ddl_bounds=bounds
     )
-    # splice the DDL row at its stream position (tbl is pos-sorted 0..n-1)
-    full = pa.concat_tables([tbl.slice(0, p0), _ddl_row(cfg, p0), tbl.slice(p0)])
+    # splice each DDL row at its stream position (tbl is pos-sorted
+    # 0..n-1; i earlier splices shift the insertion index by i)
+    ddl_names = tuple(b[1] for b in bounds)
+    parts = []
+    prev = 0
+    for i, b in enumerate(bounds):
+        parts.append(tbl.slice(prev, b[0] - prev))
+        parts.append(_ddl_row(cfg, b, i, ddl_names))
+        prev = b[0]
+    parts.append(tbl.slice(prev))
+    full = pa.concat_tables(parts)
     return GeneratedStream(
         table=full,
         config=cfg,
-        ddl_pos=p0,
-        ddl_gtid=p0 // cfg.txn_size,
+        ddl_pos=bounds[0][0],
+        ddl_gtid=bounds[0][0] // cfg.txn_size,
         num_change_events=n,
         num_bad_arity=n_bad,
     )
@@ -434,15 +484,18 @@ def _write_shard(
     k1: int,
     e_offset: int,
     n_total: int,
-    p0: int,
+    ddl_bounds: "list[tuple[int, str, str]]",
     path: str,
     include_ddl: bool,
 ) -> "tuple[int, int]":
     tbl, n_bad = generate_shard(
-        cfg, k0, k1, e_offset=e_offset, n_total=n_total, p0=p0
+        cfg, k0, k1, e_offset=e_offset, n_total=n_total, ddl_bounds=ddl_bounds
     )
     if include_ddl:
-        tbl = pa.concat_tables([_ddl_row(cfg, p0), tbl])
+        names = tuple(b[1] for b in ddl_bounds)
+        tbl = pa.concat_tables(
+            [*(_ddl_row(cfg, b, i, names) for i, b in enumerate(ddl_bounds)), tbl]
+        )
     pq.write_table(tbl, path)
     return tbl.num_rows, n_bad
 
@@ -464,7 +517,7 @@ def materialize_events(
     if os.path.exists(meta_path):
         return out
     ranges, n = _shard_key_ranges(cfg, shards)
-    p0 = _ddl_boundary(cfg, n)
+    bounds = _ddl_bounds(cfg, n)
     tmp = out + ".tmp"
     os.makedirs(tmp, exist_ok=True)
 
@@ -478,13 +531,13 @@ def materialize_events(
         task = ray.remote(num_cpus=1)(_write_shard)
         results = ray.get(
             [
-                task.remote(cfg, k0, k1, e_off, n, p0, path, ddl)
+                task.remote(cfg, k0, k1, e_off, n, bounds, path, ddl)
                 for k0, k1, e_off, path, ddl in jobs
             ]
         )
     else:
         results = [
-            _write_shard(cfg, k0, k1, e_off, n, p0, path, ddl)
+            _write_shard(cfg, k0, k1, e_off, n, bounds, path, ddl)
             for k0, k1, e_off, path, ddl in jobs
         ]
     n_bad = sum(r[1] for r in results)
@@ -492,8 +545,9 @@ def materialize_events(
         json.dump(
             {
                 "config": asdict(cfg),
-                "ddl_pos": p0,
-                "ddl_gtid": p0 // cfg.txn_size,
+                "ddl_pos": bounds[0][0],
+                "ddl_gtid": bounds[0][0] // cfg.txn_size,
+                "ddl_bounds": bounds,
                 "num_change_events": n,
                 "num_bad_arity": n_bad,
             },

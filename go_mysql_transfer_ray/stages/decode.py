@@ -36,6 +36,7 @@ def decode_batch(
     table: str = TABLE_NAME,
     ddl_gtid: "int | list[int] | None" = None,
     keep_before: bool = False,
+    ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),),
 ) -> pa.Table:
     """Decode one Arrow batch of raw events into flat change rows.
 
@@ -94,15 +95,6 @@ def decode_batch(
     # composite key: separator-less concat (endpoint.go:309-322)
     key = pc.binary_join_element_wise(repo, path, "")
 
-    # NUMBER coercion, vectorized: strip to digits-only check then cast;
-    # unparsable → null (endpoint.go:180-197).
-    stars_raw = field("stars")
-    digits = pc.match_substring_regex(stars_raw, r"^-?[0-9]+$")
-    stars = pc.cast(
-        pc.if_else(pc.fill_null(digits, False), stars_raw, pa.scalar(None, pa.string())),
-        pa.int64(),
-    )
-
     cols = {
         "gtid": t.column("gtid"),
         "seq_in_txn": t.column("seq_in_txn"),
@@ -115,8 +107,28 @@ def decode_batch(
         "commit": field("commit"),
         "lang": field("lang"),
         "content": field("content"),
-        "stars": stars,
     }
+    # DDL-added columns arrive as raw strings; coerce per declared type —
+    # NUMBER: digits-only check then cast, unparsable → null
+    # (endpoint.go:180-197); FLOAT: same with a float pattern; else string.
+    for name, mtype in ddl_columns:
+        raw = field(name)
+        if mtype == "number":
+            ok = pc.match_substring_regex(raw, r"^-?[0-9]+$")
+            cols[name] = pc.cast(
+                pc.if_else(pc.fill_null(ok, False), raw, pa.scalar(None, pa.string())),
+                pa.int64(),
+            )
+        elif mtype == "float":
+            ok = pc.match_substring_regex(
+                raw, r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+            )
+            cols[name] = pc.cast(
+                pc.if_else(pc.fill_null(ok, False), raw, pa.scalar(None, pa.string())),
+                pa.float64(),
+            )
+        else:
+            cols[name] = raw
     if keep_before:
         cols["before"] = before
     return pa.table(cols)
@@ -125,14 +137,16 @@ def decode_batch(
 class Decoder:
     """Callable wrapper so the pipeline can pass config once."""
 
-    def __init__(self, table: str = TABLE_NAME, ddl_gtid: int | None = None,
-                 keep_before: bool = False):
+    def __init__(self, table: str = TABLE_NAME, ddl_gtid=None,
+                 keep_before: bool = False,
+                 ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),)):
         self.table = table
         self.ddl_gtid = ddl_gtid
         self.keep_before = keep_before
+        self.ddl_columns = tuple(ddl_columns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return decode_batch(
             batch, table=self.table, ddl_gtid=self.ddl_gtid,
-            keep_before=self.keep_before,
+            keep_before=self.keep_before, ddl_columns=self.ddl_columns,
         )

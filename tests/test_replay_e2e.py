@@ -138,3 +138,18 @@ def test_stock_then_incremental(tmp_path):
     eng = {r["repo"] + r["path"]: r for r in engine.to_pylist()}
     for k in touched:
         assert eng[k]["content"] == stream_state[k]["content"]
+
+
+def test_two_ddls_widen_twice(tmp_path):
+    """Two mid-stream ALTERs: arity grows 5→6→7; second column is a
+    string; rows before each ALTER are null for its column."""
+    cfg = BinlogConfig(
+        num_keys=250, avg_events_per_key=5.0, delete_pct=15,
+        ddl_at=0.35, extra_ddls=(("license", "string", 0.7),),
+    )
+    metrics, engine, out, _ = run_case(tmp_path, cfg)
+    cols = engine.column_names
+    assert cols[-2:] == ["stars", "license"]
+    lic = engine.column("license").to_pylist()
+    assert any(v is not None for v in lic) and any(v is None for v in lic)
+    assert all(v is None or v.startswith("license-v") for v in lic)

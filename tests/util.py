@@ -8,13 +8,17 @@ from go_mysql_transfer_ray import oracle
 
 
 def lake_hashes(table: pa.Table) -> dict[str, str]:
-    """Per-row canonical sha256 of an engine lake table, keyed by composite key."""
+    """Per-row canonical sha256 of an engine lake table, keyed by composite
+    key.  Extra (DDL-added) columns = everything beyond the base five, in
+    table order — which is ALTER order by construction."""
+    extras = tuple(
+        c for c in table.column_names if c not in oracle.BASE_ROW_COLUMNS
+    )
     out = {}
-    names = set(table.column_names)
     for row in table.to_pylist():
-        if "stars" not in names:
-            row = {**row, "stars": None}
-        out[oracle.composite_key(row["repo"], row["path"])] = oracle.row_sha256(row)
+        out[oracle.composite_key(row["repo"], row["path"])] = oracle.row_sha256(
+            row, extra_cols=extras
+        )
     return out
 
 
