@@ -119,6 +119,43 @@ class MinHasher:
         )
 
 
+def _pairs_from_buckets(df: "pd.DataFrame", bucket_cols: list, id_col: str) -> "pd.DataFrame":
+    """Candidate pairs from shared buckets — vectorized run detection.
+
+    The bucket table is sketch METADATA (a few ints per doc×band), tiny
+    next to the corpus, so run-detection happens here after a driver
+    collect; a per-bucket ``groupby().map_groups`` costs a Python call
+    per bucket (~10^5 of them) and measured 5-8× slower.  Scale path:
+    at 10^9+ docs the same run detection runs inside ``map_groups`` over
+    a hash-partitioned bucket column."""
+    key = df[bucket_cols[0]].to_numpy()
+    if len(bucket_cols) > 1:
+        # combine bucket columns into one comparable key (hash-combine)
+        key = key.astype(np.uint64)
+        for c in bucket_cols[1:]:
+            key = key * np.uint64(0x9E3779B1) ^ df[c].to_numpy().astype(np.uint64)
+    ids = df[id_col].to_numpy().astype(np.int64)
+    order = np.lexsort((ids, key))
+    k, i = key[order], ids[order]
+    starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+    ends = np.r_[starts[1:], len(k)]
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        u = np.unique(i[s:e])
+        if len(u) < 2:
+            continue
+        ii, jj = np.triu_indices(len(u), 1)
+        out_a.append(u[ii])
+        out_b.append(u[jj])
+    if not out_a:
+        return pd.DataFrame({"a": [], "b": []}, dtype=np.int64)
+    return pd.DataFrame(
+        {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+    ).drop_duplicates()
+
+
 def minhash_signatures_ds(
     ds: "ray.data.Dataset",
     text_col="text",
@@ -126,14 +163,11 @@ def minhash_signatures_ds(
     num_perm=128,
     k=5,
 ) -> "ray.data.Dataset":
-    return ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_perm=num_perm, k=k
-        ),
-        concurrency=(1, 8),
-        batch_format="pyarrow",
-    )
+    # plain tasks, not an actor pool: MinHasher holds only config (the
+    # permutation params are derived per call), and actor spawn costs
+    # seconds per pipeline in this sandbox
+    hasher = MinHasher(text_col=text_col, id_col=id_col, num_perm=num_perm, k=k)
+    return ds.map_batches(hasher.__call__, batch_format="pyarrow")
 
 
 def minhash_dedup(
@@ -170,18 +204,8 @@ def minhash_dedup(
     sigs_mat = sigs.materialize()  # reused: band explode + verification lookup
     banded = sigs_mat.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(len(ids), 1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
-
-    pairs = (
-        banded.groupby(["band", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+    pairs = _pairs_from_buckets(
+        banded.to_pandas(), ["band", "bucket"], id_col
     )
 
     # verification: signature agreement (minhash Jaccard estimate)
@@ -505,21 +529,10 @@ def ngram_jaccard_dedup(
             }
         )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        ii, jj = np.triu_indices(len(ids), 1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
-
-    pairs = (
-        sets_mat.map_batches(explode_anchors, batch_format="pyarrow")
-        .groupby("anchor")
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+    pairs = _pairs_from_buckets(
+        sets_mat.map_batches(explode_anchors, batch_format="pyarrow").to_pandas(),
+        ["anchor"],
+        id_col,
     )
 
     tab = sets_mat.to_pandas()
