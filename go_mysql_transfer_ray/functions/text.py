@@ -160,19 +160,23 @@ def shingle_hashes(
     doc_len = np.diff(offsets)
     if n == 0:
         return np.empty(0, np.uint64), np.zeros_like(offsets)
+    idx = np.arange(n, dtype=np.int64)
+    doc_id = np.repeat(np.arange(len(doc_len)), doc_len)
+    doc_end = np.repeat(offsets[1:], doc_len)
+    doc_start = np.repeat(offsets[:-1], doc_len)
     comb = flat.copy()
     P = np.uint64(0x100000001B3)
     for i in range(1, k):
         shifted = np.empty_like(flat)
         shifted[: n - i] = flat[i:]
         shifted[n - i :] = 0
+        # zero contributions that would cross the document boundary — a
+        # short doc's partial shingle must be a pure function of ITS OWN
+        # tokens, never of whatever document follows it in the batch
+        shifted[idx + i >= doc_end] = 0
         comb = comb * P + shifted
     # a shingle starting at pos p of doc d is valid if p + k <= doc_end,
     # or p == doc_start for short docs
-    idx = np.arange(n, dtype=np.int64)
-    doc_id = np.repeat(np.arange(len(doc_len)), doc_len)
-    doc_end = np.repeat(offsets[1:], doc_len)
-    doc_start = np.repeat(offsets[:-1], doc_len)
     valid = (idx + k <= doc_end) | ((idx == doc_start) & (doc_len[doc_id] < k))
     out = comb[valid]
     counts = np.bincount(doc_id[valid], minlength=len(doc_len))

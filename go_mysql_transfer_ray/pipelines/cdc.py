@@ -181,7 +181,9 @@ def stock_import(
             if group is None or group.num_rows == 0:
                 continue
             final = final_merge(group, final_columns=None)
-            m = mstate.write_partition(out_dir, p, final, -1)
+            m = mstate.write_partition(
+                out_dir, p, final, -1, plan=f"stock:{num_partitions}"
+            )
             parts_done.append(p)
             rows_done.append(m["rows"])
         return {
@@ -238,8 +240,23 @@ def replay(
     else:
         final_cols = _final_columns(facts["ddl_events"])
 
+    # the plan signature identifies this run's configuration: resume only
+    # fences manifests written under the SAME plan, and stale partitions
+    # from a different plan are purged after the shuffle stage
+    plan_sig = repr(
+        (
+            rule_config,
+            getattr(udf, "__qualname__", None) if udf else None,
+            getattr(transform, "__qualname__", None) if transform else None,
+            base_dir,
+            final_cols,
+            num_partitions,
+        )
+    )
     skip = (
-        mstate.finished_partitions(out_dir, watermark) if resume else frozenset()
+        mstate.finished_partitions(out_dir, watermark, plan_sig)
+        if resume
+        else frozenset()
     )
     if len(skip) >= num_partitions:
         ms = mstate.load_manifests(out_dir)
@@ -334,18 +351,6 @@ def replay(
     # independent task per partition reduces + writes final + manifest.
     # No Sort operator — the merge needs co-location, not order.
     shuffle_dir = os.path.join(out_dir, "_shuffle")
-    # the plan signature makes stale deltas from a crashed run with a
-    # DIFFERENT transform/rule/udf detectable — payloads differ even when
-    # watermark and partition count match
-    plan_sig = repr(
-        (
-            rule_config,
-            getattr(udf, "__qualname__", None) if udf else None,
-            getattr(transform, "__qualname__", None) if transform else None,
-            base_dir,
-            final_cols,
-        )
-    )
     shfl.prepare_shuffle_dir(
         shuffle_dir,
         num_partitions,
@@ -358,6 +363,10 @@ def replay(
     ds.map_batches(
         shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
     ).sum("_rows")
+    # AFTER stage A (a same-dir stock base has been fully read into the
+    # deltas): drop partitions written under a different plan so they
+    # can't survive next to this run's output
+    mstate.purge_mismatched(out_dir, plan_sig)
 
     def merge_parts(batch: dict) -> dict:
         parts_done, rows_done = [], []
@@ -369,7 +378,7 @@ def replay(
             if group is None or group.num_rows == 0:
                 continue  # empty partition: no data file, no manifest
             final = final_merge(group, final_columns=final_cols)
-            m = mstate.write_partition(out_dir, p, final, watermark)
+            m = mstate.write_partition(out_dir, p, final, watermark, plan=plan_sig)
             parts_done.append(p)
             rows_done.append(m["rows"])
         return {

@@ -75,26 +75,40 @@ def exact_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> "ray.data.Dataset":
-    """Exact dedup: content-hash partition → keep the smallest id per hash.
+    """Exact dedup: 128-bit content hash → min id per hash.
 
-    Reference-free addition; the pattern is hash in ``map_batches`` (so the
-    shuffle key is a fixed-width uint64, not the document), then a grouped
-    first-row pick.  Output: the surviving rows (all original columns)."""
+    The shuffle carries ``(h1, h2, id)`` ONLY — never the document — and
+    the reduce is a plain ``groupby().aggregate(Min)`` (no per-group
+    Python).  Two independent 64-bit siphashes (the text, and the text
+    with a suffix byte) give a 128-bit key: collision probability at
+    10^10 docs ≈ 1.5e-19, so no payload-compare pass is needed.  Output:
+    one ``id_col`` row per distinct text (the smallest id)."""
+    from ray.data.aggregate import Min
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            batch.column(text_col).to_numpy(zero_copy_only=False), categorize=False
+        txt = batch.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h1 = pd.util.hash_array(
+            txt.to_numpy(zero_copy_only=False), categorize=False
         )
-        return batch.append_column("_h", pa.array(h.astype(np.uint64)))
-
-    def pick_min(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
-        return group.take(idx[:1]).drop_columns(["_h"])
+        salted = pc.binary_join_element_wise(txt, pa.scalar("\x02"), "")
+        h2 = pd.util.hash_array(
+            salted.to_numpy(zero_copy_only=False), categorize=False
+        )
+        return pa.table(
+            {
+                "_h1": pa.array(h1.view(np.int64)),
+                "_h2": pa.array(h2.view(np.int64)),
+                id_col: batch.column(id_col),
+            }
+        )
 
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h")
-        .map_groups(pick_min, batch_format="pyarrow")
+        .groupby(["_h1", "_h2"])
+        .aggregate(Min(id_col, alias_name=id_col))
+        .select_columns([id_col])
     )
 
 
@@ -208,13 +222,33 @@ def minhash_dedup(
         banded.to_pandas(), ["band", "bucket"], id_col
     )
 
-    # verification: signature agreement (minhash Jaccard estimate)
-    sig_tab = sigs_mat.to_pandas()
-    sig_map = {
-        int(i): np.asarray(s, dtype=np.uint64)
-        for i, s in zip(sig_tab[id_col], sig_tab["sig"])
-    }
+    # verification: signature agreement (minhash Jaccard estimate) — fetch
+    # ONLY the signatures of docs appearing in candidate pairs (a semi-
+    # join), not the whole signature matrix; the id list alone is the
+    # full-corpus collect
+    all_ids = sorted(
+        int(x) for x in sigs_mat.select_columns([id_col]).to_pandas()[id_col]
+    )
     if len(pairs):
+        needed = np.unique(
+            np.concatenate([pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+        ).astype(np.int64)
+        needed_ref = ray.put(needed)
+
+        def only_needed(t: pa.Table) -> pa.Table:
+            keep = np.isin(
+                t.column(id_col).to_numpy(zero_copy_only=False),
+                ray.get(needed_ref),
+            )
+            return t.filter(pa.array(keep))
+
+        sig_tab = sigs_mat.map_batches(
+            only_needed, batch_format="pyarrow"
+        ).to_pandas()
+        sig_map = {
+            int(i): np.asarray(s, dtype=np.uint64)
+            for i, s in zip(sig_tab[id_col], sig_tab["sig"])
+        }
         sa = np.stack([sig_map[int(x)] for x in pairs["a"]])
         sb = np.stack([sig_map[int(x)] for x in pairs["b"]])
         sim = sketch.minhash_similarity(sa, sb)
@@ -235,7 +269,6 @@ def minhash_dedup(
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    all_ids = sorted(sig_map)
     clusters = [find(i) for i in all_ids]
     return pa.table(
         {id_col: pa.array(all_ids, pa.int64()), "cluster_id": pa.array(clusters, pa.int64())}
@@ -326,6 +359,14 @@ class BruteForceTopK:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # fully-pruned block (LSH/IVF front-ends)
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         mat = np.stack(batch.column(self.vec_col).to_numpy(zero_copy_only=False)).astype(
             np.float32
@@ -366,6 +407,15 @@ def ann_topk(
         g = grp.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
         g = g.assign(rank=np.arange(1, len(g) + 1))
         out.append(g)
+    if not out:  # fully-pruned corpus: empty but well-formed result
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
     return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
 
 

@@ -70,9 +70,17 @@ class RedisPlan:
         self.render = (
             compile_template(cfg.key_formatter) if cfg.key_formatter else None
         )
+        # config validation at compile time (clear errors instead of
+        # KeyErrors deep inside the merge)
+        if cfg.structure == "sortedset" and not cfg.sorted_set_score_column:
+            raise ValueError(
+                "structure='sortedset' requires sorted_set_score_column"
+            )
+        if cfg.structure == "hash" and not cfg.hash_field_column:
+            raise ValueError("structure='hash' requires hash_field_column")
         # reference quirk (rule.go:520-524): the sorted-set score column
         # index is stored into the hash-field index slot
-        if cfg.structure == "sortedset" and cfg.sorted_set_score_column:
+        if cfg.structure == "sortedset":
             self.field_column = cfg.sorted_set_score_column
         else:
             self.field_column = cfg.hash_field_column
@@ -269,16 +277,16 @@ def list_state(
         for r in rows:
             lst = state.setdefault(r["key"], [])
             op = r["op"]
+            # LREM with count=0 removes ALL occurrences
+            # (/root/reference/service/endpoint/redis.go:240-246)
             if op == "insert":
                 lst.append(r["value"])
             elif op == "update":
                 old = r.get("old_value", r["value"])
-                if old in lst:
-                    lst.remove(old)
+                lst[:] = [x for x in lst if x != old]
                 lst.append(r["value"])
             elif op == "delete":
-                if r["value"] in lst:
-                    lst.remove(r["value"])
+                lst[:] = [x for x in lst if x != r["value"]]
         for k, lst in state.items():
             for i, v in enumerate(lst):
                 out_keys.append(k)

@@ -35,9 +35,13 @@ def manifest_dir(out_dir: str) -> str:
 
 
 def write_partition(
-    out_dir: str, part: int, table: pa.Table, gtid_watermark: int
+    out_dir: str, part: int, table: pa.Table, gtid_watermark: int,
+    plan: str = "",
 ) -> dict:
-    """Atomically write one partition's data + manifest; returns the manifest."""
+    """Atomically write one partition's data + manifest; returns the manifest.
+
+    ``plan`` identifies the run configuration (rule/transform/partition
+    count); resume only fences partitions written under the SAME plan."""
     pdir = os.path.join(out_dir, f"part={part:05d}")
     os.makedirs(pdir, exist_ok=True)
     data_path = os.path.join(pdir, "data.parquet")
@@ -50,6 +54,7 @@ def write_partition(
         "gtid_watermark": int(gtid_watermark),
         "file": data_path,
         "rows": table.num_rows,
+        "plan": plan,
     }
     mdir = manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
@@ -74,10 +79,35 @@ def load_manifests(out_dir: str) -> dict[int, dict]:
     return out
 
 
-def finished_partitions(out_dir: str, target_watermark: int) -> frozenset[int]:
-    """Partitions already converged at (or past) the target watermark."""
+def finished_partitions(
+    out_dir: str, target_watermark: int, plan: str = ""
+) -> frozenset[int]:
+    """Partitions already converged at (or past) the target watermark
+    UNDER THE SAME PLAN — a manifest written by a run with a different
+    rule/transform/partitioning must not fence this one."""
     return frozenset(
         p
         for p, m in load_manifests(out_dir).items()
-        if m["gtid_watermark"] >= target_watermark
+        if m["gtid_watermark"] >= target_watermark and m.get("plan", "") == plan
     )
+
+
+def purge_mismatched(out_dir: str, plan: str) -> int:
+    """Remove partitions written under a DIFFERENT plan (stale output of a
+    previous configuration — e.g. a changed rule or partition count would
+    otherwise leave extra part dirs that read_lake would concatenate).
+    Returns the number of partitions removed."""
+    import shutil
+
+    removed = 0
+    for p, m in load_manifests(out_dir).items():
+        if m.get("plan", "") != plan:
+            shutil.rmtree(
+                os.path.join(out_dir, f"part={p:05d}"), ignore_errors=True
+            )
+            try:
+                os.unlink(os.path.join(manifest_dir(out_dir), f"part-{p:05d}.json"))
+            except OSError:
+                pass
+            removed += 1
+    return removed

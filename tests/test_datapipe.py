@@ -249,3 +249,13 @@ def test_connected_components_matches_union_find(ray_session):
     labels = datapipe._union_find_clusters(ids, edges)
     want = dict(zip(ids, labels))
     assert got == want
+
+
+def test_short_doc_shingles_batch_independent():
+    """A short doc's shingle hash must not depend on the following doc
+    in the batch (review regression)."""
+    a1, _ = textfn.hash_tokens(pa.array(["hi there", "completely different doc text"]))
+    a2, _ = textfn.hash_tokens(pa.array(["hi there", "some other followup entirely"]))
+    s1, o1 = textfn.shingle_hashes(a1, np.array([0, 2, 6]), k=5)
+    s2, o2 = textfn.shingle_hashes(a2, np.array([0, 2, 6]), k=5)
+    assert s1[o1[0]:o1[1]].tolist() == s2[o2[0]:o2[1]].tolist()

@@ -109,3 +109,28 @@ def test_list_ordered_fold(ray_session):
         .sort_values("list_pos")
     )
     assert list(out.value) == ["x2", "z"]
+
+
+def test_list_lrem_removes_all_occurrences(ray_session):
+    """LREM count=0 semantics (redis.go:240-246): delete removes EVERY
+    occurrence of the value."""
+    ds = _changes(
+        [
+            (1, "insert", "a", "v"),
+            (2, "insert", "a", "v"),
+            (3, "insert", "a", "w"),
+            (4, "delete", "a", "v"),
+        ]
+    )
+    plan = RedisPlan(RedisConfig(structure="list", key_column="user"), ("user",))
+    out = list_state(ds, plan, value_col="val").to_pandas()
+    assert list(out.value) == ["w"]
+
+
+def test_config_validation_errors():
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        RedisPlan(RedisConfig(structure="sortedset"), ("user",))
+    with _p.raises(ValueError):
+        RedisPlan(RedisConfig(structure="hash"), ("user",))

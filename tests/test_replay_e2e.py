@@ -153,3 +153,28 @@ def test_two_ddls_widen_twice(tmp_path):
     lic = engine.column("license").to_pylist()
     assert any(v is not None for v in lic) and any(v is None for v in lic)
     assert all(v is None or v.startswith("license-v") for v in lic)
+
+
+def test_resume_plan_identity(tmp_path):
+    """A manifest written under a different rule/plan must NOT fence a
+    re-run with a new configuration (review regression)."""
+    from go_mysql_transfer_ray.rules import RuleConfig
+
+    cfg = BinlogConfig(num_keys=100, avg_events_per_key=3.0)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+    cdc.replay(events_dir, out, num_partitions=8,
+               rule_config=RuleConfig(include_columns="repo,path,lang"))
+    t1 = cdc.lake_table(out)
+    assert set(t1.column_names) == {"repo", "path", "lang"}
+    # same watermark, different plan → must fully recompute, not skip
+    m = cdc.replay(events_dir, out, num_partitions=8)
+    assert m["parts_skipped"] == 0 and m["parts_written"] > 0
+    t2 = cdc.lake_table(out)
+    assert "content" in t2.column_names
+    # and no stale rule-plan partitions survive alongside
+    ora = oracle.replay_full(generate(cfg).table)
+    assert_state_equal(t2, ora)
+    # identical re-run still fences
+    m3 = cdc.replay(events_dir, out, num_partitions=8)
+    assert m3["parts_written"] == 0 and m3["resumed"]
