@@ -78,6 +78,19 @@ def cmd_replay(args) -> dict:
     return m
 
 
+def cmd_tail(args) -> dict:
+    """Default reference mode: incremental sync — apply a new event batch
+    on top of the existing lake (main.go:92-136 steady state)."""
+    from .pipelines import cdc
+
+    ray = _ray_session(args.num_cpus)
+    m = cdc.incremental_replay(
+        args.events, args.out, num_partitions=args.num_partitions
+    )
+    ray.shutdown()
+    return m
+
+
 def cmd_status(args) -> dict:
     """-status: print the saved position (main.go:111-119)."""
     from .state import manifest as mstate
@@ -145,6 +158,12 @@ def main(argv=None) -> None:
     r.add_argument("--no-resume", action="store_true")
     r.add_argument("--base-dir", default=None)
     r.set_defaults(fn=cmd_replay)
+
+    tl = sub.add_parser("tail", help="incremental sync: new batch onto the lake")
+    tl.add_argument("--events", required=True)
+    tl.add_argument("--out", required=True)
+    tl.add_argument("--num-partitions", type=int, default=64)
+    tl.set_defaults(fn=cmd_tail)
 
     st = sub.add_parser("status", help="print checkpoint state")
     st.add_argument("--out", required=True)

@@ -230,15 +230,26 @@ def replay(
     """
     facts = stream_facts(events_dir)
     watermark = facts["watermark"]
-    ddl_gtid = [d["gtid"] for d in facts["ddl_events"]] or None
+    # schema state = persisted DDL history (earlier micro-batches) + this
+    # batch's in-band DDLs — a tail batch that arrives after an ALTER must
+    # still decode with the widened arity (the reference caches table
+    # metadata across sessions, transfer_service.go:249-262)
+    prior_ddls = mstate.load_schema(out_dir) if resume else []
+    seen_gtids = {d["gtid"] for d in prior_ddls}
+    ddl_events = sorted(
+        prior_ddls
+        + [d for d in facts["ddl_events"] if d["gtid"] not in seen_gtids],
+        key=lambda d: d["gtid"],
+    )
+    ddl_gtid = [d["gtid"] for d in ddl_events] or None
 
     if rule_config is not None:
         if udf is not None:
             final_cols = None  # UDF may add columns: derive from the data
         else:
-            final_cols = list(RulePlan(rule_config, _stream_specs(facts["ddl_events"])).output_order)
+            final_cols = list(RulePlan(rule_config, _stream_specs(ddl_events)).output_order)
     else:
-        final_cols = _final_columns(facts["ddl_events"])
+        final_cols = _final_columns(ddl_events)
 
     # the plan signature identifies this run's configuration: resume only
     # fences manifests written under the SAME plan, and stale partitions
@@ -276,7 +287,7 @@ def replay(
     )
     ds = ds.map_batches(
         Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before,
-                ddl_columns=_ddl_columns(facts["ddl_events"])),
+                ddl_columns=_ddl_columns(ddl_events)),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
@@ -287,7 +298,7 @@ def replay(
         lookup_ref = ray.put(lookup) if lookup else None
         ds = ds.map_batches(
             RuleEngine,
-            fn_constructor_args=(rule_config, _stream_specs(facts["ddl_events"])),
+            fn_constructor_args=(rule_config, _stream_specs(ddl_events)),
             fn_constructor_kwargs={"udf": udf, "lookup_ref": lookup_ref},
             # (min,max) autoscaling so the pool never reserves every CPU and
             # starves the read / shuffle stages (ray_guide: size pools to
@@ -307,7 +318,7 @@ def replay(
             d["add_column"]: {"int64": pa.int64(), "double": pa.float64()}.get(
                 d.get("arrow_type"), pa.string()
             )
-            for d in facts["ddl_events"]
+            for d in ddl_events
             if d and d.get("add_column")
         }
         base_schema = read_lake(base_dir).schema().base_schema
@@ -392,6 +403,7 @@ def replay(
         .to_pandas()
     )
     shfl.cleanup(shuffle_dir)
+    mstate.save_schema(out_dir, ddl_events)
     return {
         "watermark": watermark,
         "parts_written": int(len(metrics)),
@@ -399,6 +411,26 @@ def replay(
         "rows": int(metrics["rows"].sum()) if len(metrics) else 0,
         "resumed": bool(skip),
     }
+
+
+def incremental_replay(events_dir: str, out_dir: str, **replay_kw) -> dict:
+    """Micro-batch tail: apply a NEW batch of events on top of the
+    existing lake — the steady-state loop of the reference's continuous
+    sync (/root/reference/service/handler.go:135-194), one bounded batch
+    at a time.
+
+    The current lake joins the merge as the lowest-precedence writer
+    (``base_dir=out_dir``); any event in ``events_dir`` (all of which
+    carry gtids past the previous watermark) overrides its key, deletes
+    drop base rows.  Call repeatedly as new event shards arrive; each
+    call's output is a complete, manifest-fenced lake."""
+    has_state = bool(mstate.load_manifests(out_dir))
+    return replay(
+        events_dir,
+        out_dir,
+        base_dir=out_dir if has_state else None,
+        **replay_kw,
+    )
 
 
 def read_lake(out_dir: str) -> "ray.data.Dataset":

@@ -111,3 +111,26 @@ def purge_mismatched(out_dir: str, plan: str) -> int:
                 pass
             removed += 1
     return removed
+
+
+def save_schema(out_dir: str, ddl_events: list) -> None:
+    """Persist the accumulated DDL history next to the manifests — the
+    analogue of the reference's cached table metadata that survives
+    across sync sessions (/root/reference/service/transfer_service.go:
+    249-262 fetches it per start; we persist what the stream taught us so
+    later micro-batches know the schema ALTERs they didn't see)."""
+    mdir = manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, "_schema.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"ddl_events": ddl_events}, f)
+    os.replace(tmp, path)
+
+
+def load_schema(out_dir: str) -> list:
+    path = os.path.join(manifest_dir(out_dir), "_schema.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return json.load(f)["ddl_events"]
