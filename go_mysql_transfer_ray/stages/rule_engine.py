@@ -52,6 +52,7 @@ class SinkOp:
 @dataclass
 class UdfContext:
     lookup: dict[str, Any]
+    http: Any = None  # HttpOps (T5); constructed per actor in __init__
 
 
 class RuleEngine:
@@ -69,11 +70,14 @@ class RuleEngine:
         udf: Callable | None = None,
         lookup_ref: "ray.ObjectRef | None" = None,
         passthrough: list[str] = ("gtid", "seq_in_txn", "op", "key"),
+        http_client=None,
     ):
         self.plan = RulePlan(config, columns)
         self.udf = udf
         lookup = ray.get(lookup_ref) if lookup_ref is not None else {}
-        self.ctx = UdfContext(lookup=lookup)
+        from ..functions.http_stub import HttpOps
+
+        self.ctx = UdfContext(lookup=lookup, http=HttpOps(http_client))
         self.passthrough = list(passthrough)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

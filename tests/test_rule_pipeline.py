@@ -178,3 +178,29 @@ def test_udf_upsert_on_delete_keeps_row(tmp_path):
     assert deleted, "fixture should contain finally-deleted keys"
     assert all(langs[k] == "tomb" for k in deleted)
     assert set(ora) <= set(langs)
+
+
+def test_udf_http_enrichment(tmp_path):
+    """T5 httpOps: UDF enriches rows through the injectable HTTP surface
+    (stubbed transport, real API shape — http_actuator.go:33-156)."""
+    from go_mysql_transfer_ray.functions.http_stub import StubHttpClient
+    from go_mysql_transfer_ray.stages.rule_engine import RuleEngine
+    from go_mysql_transfer_ray.functions.coerce import ColumnSpec
+    import pyarrow as pa
+
+    client = StubHttpClient(routes={"https://api/langs/go": "Golang"})
+    eng = RuleEngine(
+        RuleConfig(include_columns="repo,lang", primary_keys=("repo",)),
+        [ColumnSpec("repo", "string"), ColumnSpec("lang", "string")],
+        udf=lambda row, old, act, ctx: {
+            **row,
+            "lang_full": ctx.http.get(f"https://api/langs/{row['lang']}")["body"],
+        },
+        http_client=client,
+    )
+    out = eng(pa.table({"repo": ["r1"], "lang": ["go"], "op": ["insert"]}))
+    assert out.column("lang_full").to_pylist() == ["Golang"]
+    assert client.calls[0]["url"] == "https://api/langs/go"
+    # unknown route → 404 with empty body, like a real failed enrichment
+    miss = eng.ctx.http.get("https://api/langs/unknown")
+    assert miss == {"status_code": 404, "body": ""}
