@@ -53,6 +53,7 @@ class SinkOp:
 class UdfContext:
     lookup: dict[str, Any]
     http: Any = None  # HttpOps (T5); constructed per actor in __init__
+    db: Any = None    # DbOps (T4); broadcast-dict lookup join
 
 
 class RuleEngine:
@@ -75,9 +76,14 @@ class RuleEngine:
         self.plan = RulePlan(config, columns)
         self.udf = udf
         lookup = ray.get(lookup_ref) if lookup_ref is not None else {}
+        from ..functions.db_ops import DbOps
         from ..functions.http_stub import HttpOps
 
-        self.ctx = UdfContext(lookup=lookup, http=HttpOps(http_client))
+        self.ctx = UdfContext(
+            lookup=lookup,
+            http=HttpOps(http_client),
+            db=DbOps(lookup if isinstance(lookup, dict) else {}),
+        )
         self.passthrough = list(passthrough)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -224,3 +224,65 @@ def test_incremental_microbatch_tail(tmp_path):
     # the tail actually changed state (not a no-op)
     assert m2["watermark"] > m1["watermark"]
     assert final.num_rows != mid_state.num_rows or not final.equals(mid_state)
+
+
+def test_crash_recovery_partial_deltas(tmp_path):
+    """A crash mid-shuffle leaves partial delta files; the rerun must
+    converge to the oracle state anyway (delta dedup by (key,gtid,seq))."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from go_mysql_transfer_ray.stages import shuffle as shfl
+
+    cfg = BinlogConfig(num_keys=120, avg_events_per_key=4.0, delete_pct=20)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+
+    # simulate the crashed run: a shuffle dir with this run's meta and a
+    # partial delta (a duplicate slice of real events, already decoded)
+    from go_mysql_transfer_ray.pipelines import cdc as cdcmod
+    from go_mysql_transfer_ray.stages.decode import decode_batch
+    from go_mysql_transfer_ray.stages.merge import add_partition_column
+
+    facts = cdcmod.stream_facts(events_dir)
+    full = pq.read_table(os.path.join(events_dir, "events-00000.parquet"))
+    dec = decode_batch(full, ddl_gtid=[d["gtid"] for d in facts["ddl_events"]])
+    dec = dec.select(["key", "gtid", "seq_in_txn", "op",
+                      *cdcmod._final_columns(facts["ddl_events"])])
+    dec = add_partition_column(dec, 8)
+    shuf = os.path.join(out, "_shuffle")
+    # meta must match the plan the real run will use, else it gets wiped
+    plan_sig = repr((None, None, None, None,
+                     cdcmod._final_columns(facts["ddl_events"]), 8))
+    shfl.prepare_shuffle_dir(
+        shuf, 8, {"watermark": facts["watermark"], "num_partitions": 8,
+                  "plan": plan_sig},
+    )
+    shfl.DeltaWriter(shuf)(dec.slice(0, dec.num_rows // 2))  # partial write
+    import glob as _glob
+
+    stale = set(_glob.glob(os.path.join(shuf, "part=*", "*.parquet")))
+    assert stale, "partial deltas must exist before the rerun"
+    # same-meta prepare keeps them (the crash-recovery path)…
+    shfl.prepare_shuffle_dir(
+        shuf, 8, {"watermark": facts["watermark"], "num_partitions": 8,
+                  "plan": plan_sig},
+    )
+    assert stale <= set(_glob.glob(os.path.join(shuf, "part=*", "*.parquet")))
+    # …while a different plan would wipe them
+    shfl.prepare_shuffle_dir(shuf, 8, {"watermark": 0, "num_partitions": 8,
+                                       "plan": "other"})
+    assert not set(_glob.glob(os.path.join(shuf, "part=*", "*.parquet")))
+    # restore the crashed run's state for the real rerun
+    shfl.prepare_shuffle_dir(
+        shuf, 8, {"watermark": facts["watermark"], "num_partitions": 8,
+                  "plan": plan_sig},
+    )
+    shfl.DeltaWriter(shuf)(dec.slice(0, dec.num_rows // 2))
+
+    metrics = cdc.replay(events_dir, out, num_partitions=8)
+    engine = cdc.lake_table(out)
+    ora = oracle.replay_full(generate(cfg).table)
+    assert_state_equal(engine, ora)
+    assert metrics["parts_written"] > 0

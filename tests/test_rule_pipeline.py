@@ -204,3 +204,31 @@ def test_udf_http_enrichment(tmp_path):
     # unknown route → 404 with empty body, like a real failed enrichment
     miss = eng.ctx.http.get("https://api/langs/unknown")
     assert miss == {"status_code": 404, "body": ""}
+
+
+def test_udf_dbops_lookup_join(tmp_path):
+    """T4 dbOps: selectOne/select against broadcast dimension tables —
+    the per-row SQL lookup (db_actuator.go:39-124) as a local dict probe."""
+    from go_mysql_transfer_ray.functions.coerce import ColumnSpec
+    from go_mysql_transfer_ray.stages.rule_engine import RuleEngine
+    import pyarrow as pa
+    import ray
+
+    dims = {"langs": {"go": {"name": "Golang", "year": 2009},
+                      "rust": {"name": "Rust", "year": 2015}}}
+    ref = ray.put(dims)
+
+    def udf(row, old, act, ctx):
+        hit = ctx.db.select_one("langs", row["lang"])
+        return {**row, "lang_name": hit["name"] if hit else "?"}
+
+    eng = RuleEngine(
+        RuleConfig(include_columns="repo,lang", primary_keys=("repo",)),
+        [ColumnSpec("repo", "string"), ColumnSpec("lang", "string")],
+        udf=udf, lookup_ref=ref,
+    )
+    out = eng(pa.table({"repo": ["a", "b"], "lang": ["go", "c"],
+                        "op": ["insert", "insert"]}))
+    assert out.column("lang_name").to_pylist() == ["Golang", "?"]
+    # predicate select
+    assert len(eng.ctx.db.select("langs", lambda r: r["year"] > 2010)) == 1
