@@ -112,20 +112,10 @@ def cmd_position(args) -> dict:
     """-position: overwrite the saved position (main.go:156-189) — here:
     force every partition manifest's watermark so the next replay
     recomputes (or skips) accordingly."""
-    import json as _json
-
     from .state import manifest as mstate
 
-    ms = mstate.load_manifests(args.out)
-    mdir = mstate.manifest_dir(args.out)
-    for p, m in ms.items():
-        m["gtid_watermark"] = args.force_watermark
-        path = os.path.join(mdir, f"part-{p:05d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(m, f)
-        os.replace(tmp, path)
-    return {"out": args.out, "partitions": len(ms), "watermark": args.force_watermark}
+    n = mstate.set_watermarks(args.out, args.force_watermark)
+    return {"out": args.out, "partitions": n, "watermark": args.force_watermark}
 
 
 def main(argv=None) -> None:

@@ -30,6 +30,7 @@ cluster, tested single-node):
 from __future__ import annotations
 
 import glob
+import hashlib
 import os
 from typing import Callable
 
@@ -121,6 +122,47 @@ def _stream_specs(ddl_events: list[dict]) -> list[ColumnSpec]:
     return specs
 
 
+def _run_stage_b(
+    shuffle_dir: str,
+    out_dir: str,
+    num_partitions: int,
+    *,
+    watermark: int,
+    plan: str,
+    skip: frozenset = frozenset(),
+    final_cols: "list[str] | None" = None,
+):
+    """Stage B: one independent task per partition — read that partition's
+    deltas, LWW-reduce, atomically write data + manifest.  Shared by
+    replay and stock_import.  ``batch_size=None`` keeps each one-row block
+    its own task (the default batching would bundle all partition ids
+    into one task and serialize the merges)."""
+
+    def merge_parts(batch: dict) -> dict:
+        parts_done, rows_done = [], []
+        for p in batch["id"]:
+            p = int(p)
+            if p in skip:
+                continue
+            group = shfl.read_partition_deltas(shuffle_dir, p)
+            if group is None or group.num_rows == 0:
+                continue  # empty partition: no data file, no manifest
+            final = final_merge(group, final_columns=final_cols)
+            m = mstate.write_partition(out_dir, p, final, watermark, plan=plan)
+            parts_done.append(p)
+            rows_done.append(m["rows"])
+        return {
+            "partition": np.asarray(parts_done, dtype=np.int32),
+            "rows": np.asarray(rows_done, dtype=np.int64),
+        }
+
+    return (
+        ray.data.range(num_partitions, override_num_blocks=num_partitions)
+        .map_batches(merge_parts, batch_size=None)
+        .to_pandas()
+    )
+
+
 def _base_as_changes(base_ds: "ray.data.Dataset") -> "ray.data.Dataset":
     """Stock-loaded rows → merge-shaped change rows at gtid=-1.
 
@@ -173,28 +215,15 @@ def stock_import(
         shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
     ).sum("_rows")
 
-    def merge_parts(batch: dict) -> dict:
-        parts_done, rows_done = [], []
-        for p in batch["id"]:
-            p = int(p)
-            group = shfl.read_partition_deltas(shuffle_dir, p)
-            if group is None or group.num_rows == 0:
-                continue
-            final = final_merge(group, final_columns=None)
-            m = mstate.write_partition(
-                out_dir, p, final, -1, plan=f"stock:{num_partitions}"
-            )
-            parts_done.append(p)
-            rows_done.append(m["rows"])
-        return {
-            "partition": np.asarray(parts_done, dtype=np.int32),
-            "rows": np.asarray(rows_done, dtype=np.int64),
-        }
-
-    metrics = (
-        ray.data.range(num_partitions, override_num_blocks=num_partitions)
-        .map_batches(merge_parts)
-        .to_pandas()
+    metrics = _run_stage_b(
+        shuffle_dir, out_dir, num_partitions,
+        watermark=-1, plan=f"stock:{num_partitions}", final_cols=None,
+    )
+    # a stock import resets the lake to the snapshot: partitions not
+    # rewritten (e.g. older replay output whose keys are absent from the
+    # base) are removed after the snapshot is durably written
+    mstate.remove_partitions_except(
+        out_dir, set(int(p) for p in metrics["partition"])
     )
     shfl.cleanup(shuffle_dir)
     return {
@@ -252,13 +281,26 @@ def replay(
         final_cols = _final_columns(ddl_events)
 
     # the plan signature identifies this run's configuration: resume only
-    # fences manifests written under the SAME plan, and stale partitions
-    # from a different plan are purged after the shuffle stage
+    # fences manifests written under the SAME plan, and partitions from a
+    # different plan are reconciled away after this run's writes land.
+    # Callables are identified by qualname + bytecode hash — two distinct
+    # lambdas (or an edited function body) must not share a plan
+    def _fn_sig(fn) -> "str | None":
+        if fn is None:
+            return None
+        code = getattr(fn, "__code__", None)
+        body = (
+            hashlib.sha256(code.co_code + repr(code.co_consts).encode()).hexdigest()[:16]
+            if code is not None
+            else ""
+        )
+        return f"{getattr(fn, '__qualname__', repr(fn))}:{body}"
+
     plan_sig = repr(
         (
             rule_config,
-            getattr(udf, "__qualname__", None) if udf else None,
-            getattr(transform, "__qualname__", None) if transform else None,
+            _fn_sig(udf),
+            _fn_sig(transform),
             base_dir,
             final_cols,
             num_partitions,
@@ -314,12 +356,11 @@ def replay(
     if base_dir is not None:
         # stock snapshot participates in the merge at lowest precedence
         # (gtid=-1 inserts); columns added by later DDL are null-padded
+        # pad types follow the same contract decode coerces to
+        _PAD_TYPES = {"number": pa.int64(), "float": pa.float64()}
         ddl_types = {
-            d["add_column"]: {"int64": pa.int64(), "double": pa.float64()}.get(
-                d.get("arrow_type"), pa.string()
-            )
-            for d in ddl_events
-            if d and d.get("add_column")
+            name: _PAD_TYPES.get(mtype, pa.string())
+            for name, mtype in _ddl_columns(ddl_events)
         }
         base_schema = read_lake(base_dir).schema().base_schema
         missing = {"repo", "path"} - set(base_schema.names)
@@ -374,34 +415,18 @@ def replay(
     ds.map_batches(
         shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
     ).sum("_rows")
-    # AFTER stage A (a same-dir stock base has been fully read into the
-    # deltas): drop partitions written under a different plan so they
-    # can't survive next to this run's output
-    mstate.purge_mismatched(out_dir, plan_sig)
 
-    def merge_parts(batch: dict) -> dict:
-        parts_done, rows_done = [], []
-        for p in batch["id"]:
-            p = int(p)
-            if p in skip:
-                continue
-            group = shfl.read_partition_deltas(shuffle_dir, p)
-            if group is None or group.num_rows == 0:
-                continue  # empty partition: no data file, no manifest
-            final = final_merge(group, final_columns=final_cols)
-            m = mstate.write_partition(out_dir, p, final, watermark, plan=plan_sig)
-            parts_done.append(p)
-            rows_done.append(m["rows"])
-        return {
-            "partition": np.asarray(parts_done, dtype=np.int32),
-            "rows": np.asarray(rows_done, dtype=np.int64),
-        }
-
-    metrics = (
-        ray.data.range(num_partitions, override_num_blocks=num_partitions)
-        .map_batches(merge_parts)
-        .to_pandas()
+    metrics = _run_stage_b(
+        shuffle_dir, out_dir, num_partitions,
+        watermark=watermark, plan=plan_sig, skip=skip, final_cols=final_cols,
     )
+    # reconcile AFTER every replacement partition is durably written (a
+    # crash before this point leaves stale partitions, never lost data —
+    # a rerun recomputes and reconciles): anything not fenced (skip) and
+    # not written this run is a leftover of an older plan or an
+    # empty-this-run partition whose correct state is empty
+    valid = skip | set(int(p) for p in metrics["partition"])
+    mstate.remove_partitions_except(out_dir, valid)
     shfl.cleanup(shuffle_dir)
     mstate.save_schema(out_dir, ddl_events)
     return {
@@ -423,7 +448,13 @@ def incremental_replay(events_dir: str, out_dir: str, **replay_kw) -> dict:
     (``base_dir=out_dir``); any event in ``events_dir`` (all of which
     carry gtids past the previous watermark) overrides its key, deletes
     drop base rows.  Call repeatedly as new event shards arrive; each
-    call's output is a complete, manifest-fenced lake."""
+    call's output is a complete, manifest-fenced lake.
+
+    Limitation: base rows re-enter the merge keyed as ``repo+path``; a
+    UDF that emits CUSTOM sink keys (SinkOp.key) is not resumable via
+    the base path — its entities would re-key differently across
+    batches.  Keep the natural key (or replay the full log) for such
+    rules."""
     has_state = bool(mstate.load_manifests(out_dir))
     return replay(
         events_dir,
@@ -433,16 +464,25 @@ def incremental_replay(events_dir: str, out_dir: str, **replay_kw) -> dict:
     )
 
 
-def read_lake(out_dir: str) -> "ray.data.Dataset":
+def _lake_files(out_dir: str) -> list[str]:
     files = sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no lake partitions under {out_dir!r} (expected part=*/data.parquet "
+            "written by cdc.replay / cdc.stock_import)"
+        )
+    return files
+
+
+def read_lake(out_dir: str) -> "ray.data.Dataset":
     # partitioning=None: the part=NNNNN dirs are checkpoint units, not a
     # hive-partitioned column — don't let the reader invent a 'part' column.
-    return ray.data.read_parquet(files, partitioning=None)
+    return ray.data.read_parquet(_lake_files(out_dir), partitioning=None)
 
 
 def lake_table(out_dir: str) -> pa.Table:
     """Driver-side full read of the (small) converged table — tests only."""
-    files = sorted(glob.glob(os.path.join(out_dir, "part=*", "data.parquet")))
     return pa.concat_tables(
-        [pq.read_table(f) for f in files], promote_options="default"
+        [pq.read_table(f) for f in _lake_files(out_dir)],
+        promote_options="default",
     )

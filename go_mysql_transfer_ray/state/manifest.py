@@ -92,27 +92,6 @@ def finished_partitions(
     )
 
 
-def purge_mismatched(out_dir: str, plan: str) -> int:
-    """Remove partitions written under a DIFFERENT plan (stale output of a
-    previous configuration — e.g. a changed rule or partition count would
-    otherwise leave extra part dirs that read_lake would concatenate).
-    Returns the number of partitions removed."""
-    import shutil
-
-    removed = 0
-    for p, m in load_manifests(out_dir).items():
-        if m.get("plan", "") != plan:
-            shutil.rmtree(
-                os.path.join(out_dir, f"part={p:05d}"), ignore_errors=True
-            )
-            try:
-                os.unlink(os.path.join(manifest_dir(out_dir), f"part-{p:05d}.json"))
-            except OSError:
-                pass
-            removed += 1
-    return removed
-
-
 def save_schema(out_dir: str, ddl_events: list) -> None:
     """Persist the accumulated DDL history next to the manifests — the
     analogue of the reference's cached table metadata that survives
@@ -134,3 +113,41 @@ def load_schema(out_dir: str) -> list:
         return []
     with open(path) as f:
         return json.load(f)["ddl_events"]
+
+
+def remove_partitions_except(out_dir: str, keep: "set[int]") -> int:
+    """Post-write reconciliation: drop every manifested partition NOT in
+    ``keep`` (stale output of an older plan, or a partition whose correct
+    state this run is empty).  Runs only after the replacement partitions
+    are durably written — a crash beforehand leaves stale data visible
+    but never loses data (the rerun recomputes and reconciles)."""
+    import shutil
+
+    removed = 0
+    for p in load_manifests(out_dir):
+        if p not in keep:
+            shutil.rmtree(
+                os.path.join(out_dir, f"part={p:05d}"), ignore_errors=True
+            )
+            try:
+                os.unlink(os.path.join(manifest_dir(out_dir), f"part-{p:05d}.json"))
+            except OSError:
+                pass
+            removed += 1
+    return removed
+
+
+def set_watermarks(out_dir: str, watermark: int) -> int:
+    """Force every manifest's watermark (the CLI -position override,
+    /root/reference/main.go:156-189).  Returns manifests touched."""
+    mdir = manifest_dir(out_dir)
+    n = 0
+    for p, m in load_manifests(out_dir).items():
+        m["gtid_watermark"] = int(watermark)
+        path = os.path.join(mdir, f"part-{p:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, path)
+        n += 1
+    return n

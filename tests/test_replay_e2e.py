@@ -6,6 +6,7 @@ import pytest
 
 from go_mysql_transfer_ray import oracle
 from go_mysql_transfer_ray.pipelines import cdc
+from go_mysql_transfer_ray.rules import RuleConfig
 from go_mysql_transfer_ray.sources.binlog import BinlogConfig, generate, materialize_events
 
 from .util import assert_state_equal
@@ -286,3 +287,45 @@ def test_crash_recovery_partial_deltas(tmp_path):
     ora = oracle.replay_full(generate(cfg).table)
     assert_state_equal(engine, ora)
     assert metrics["parts_written"] > 0
+
+
+def test_stock_reset_removes_old_replay_output(tmp_path):
+    """A stock import into a lake that already holds replay output resets
+    it to the snapshot — no stale replay partitions survive."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cfg = BinlogConfig(num_keys=80, avg_events_per_key=3.0)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+    cdc.replay(events_dir, out, num_partitions=8)
+    assert cdc.lake_table(out).num_rows > 10
+
+    base = pa.table(
+        {
+            "repo": ["x/only"], "path": ["a.py"], "commit": ["c" * 40],
+            "lang": ["python"], "content": ["snapshot"],
+        }
+    )
+    bp = str(tmp_path / "base.parquet")
+    pq.write_table(base, bp)
+    cdc.stock_import(bp, out, num_partitions=8)
+    t = cdc.lake_table(out)
+    assert t.num_rows == 1 and t.column("repo").to_pylist() == ["x/only"]
+
+
+def test_lambda_plan_change_not_fenced(tmp_path):
+    """Two different lambdas must not share a resume plan (bytecode hash
+    in the signature)."""
+    cfg = BinlogConfig(num_keys=60, avg_events_per_key=3.0)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+    cdc.replay(events_dir, out, num_partitions=4,
+               rule_config=RuleConfig(reserve_raw_data=True),
+               udf=lambda r, o, a, c: {**r, "tag": "one"})
+    m = cdc.replay(events_dir, out, num_partitions=4,
+                   rule_config=RuleConfig(reserve_raw_data=True),
+                   udf=lambda r, o, a, c: {**r, "tag": "two"})
+    assert m["parts_written"] > 0 and m["parts_skipped"] == 0
+    tags = set(cdc.lake_table(out).column("tag").to_pylist())
+    assert tags == {"two"}
