@@ -495,6 +495,13 @@ def q_asof_last_purchase(sf_dir: str):
     ).select_columns(["event_id", "user_id", "asof_value"])
 
 
+def _query_vectors(sf_dir: str, n: int = 4) -> np.ndarray:
+    """First n embedding vectors WITHOUT reading the whole file."""
+    pf = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet"))
+    batch = next(pf.iter_batches(batch_size=n, columns=["embedding"]))
+    return np.stack(batch.column("embedding").to_pylist())
+
+
 def q_doc_token_counts(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -584,18 +591,12 @@ def q_simhash_dedup(sf_dir: str) -> pa.Table:
 
 def q_ann_topk(sf_dir: str) -> pa.Table:
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    head = pq.read_table(
-        os.path.join(sf_dir, "embeddings.parquet")
-    ).slice(0, 4)
-    queries = np.stack(head.column("embedding").to_pylist())
-    return datapipe.ann_topk(emb, queries, k=10)
+    return datapipe.ann_topk(emb, _query_vectors(sf_dir), k=10)
 
 
 def q_ann_lsh(sf_dir: str) -> pa.Table:
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 4)
-    queries = np.stack(head.column("embedding").to_pylist())
-    return datapipe.lsh_bucketed_ann(emb, queries, k=10)
+    return datapipe.lsh_bucketed_ann(emb, _query_vectors(sf_dir), k=10)
 
 
 def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
@@ -604,9 +605,7 @@ def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    head = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).slice(0, 4)
-    queries = np.stack(head.column("embedding").to_pylist())
-    return datapipe.ivf_ann(emb, queries, k=10)
+    return datapipe.ivf_ann(emb, _query_vectors(sf_dir), k=10)
 
 
 def q_embedding_dedup(sf_dir: str) -> pa.Table:
@@ -714,13 +713,13 @@ def q_redis_set_state(sf_dir: str):
     return structure_state(ds, plan, value_col="event_type")
 
 
-def q_dedup_clusters_distributed(sf_dir: str) -> pa.Table:
+def q_dedup_clusters_distributed(sf_dir: str) -> "ray.data.Dataset":
     """Distributed connected components (large-star/small-star) over the
     planted-duplicate embedding pairs — the scale path replacing the
     driver union-find."""
     pairs = q_embedding_dedup(sf_dir)
     ds = ray.data.from_arrow(pairs.select(["a", "b"]))
-    return datapipe.connected_components(ds).to_pandas()
+    return datapipe.connected_components(ds)
 
 
 def q_message_envelopes(sf_dir: str):
@@ -915,6 +914,15 @@ def oracle_sql() -> dict[str, str]:
                                                  END, 1) BETWEEN 3.0 AND 12.0
                                  THEN 1.0 ELSE 0.0 END) AS quality
             FROM documents
+        """,
+        "es_mapping_infer": """
+            SELECT * FROM (VALUES
+                ('c_acctbal', 'float', TRUE),
+                ('c_custkey', 'long', FALSE),
+                ('c_mktsegment', 'keyword', TRUE),
+                ('c_name', 'text', TRUE),
+                ('source', 'keyword', TRUE)
+            ) AS t(field, es_type, in_delta)
         """,
         "redis_string_state": """
             WITH ranked AS (

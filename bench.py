@@ -174,8 +174,9 @@ def run_flagship_only() -> dict:
 def run_scaling(low: int, high: int, scale: int = 1) -> dict:
     """Identical flagship job at two num_cpus levels in fresh processes.
 
-    ``scale`` multiplies the stream size if a longer-running measurement
-    is wanted; both legs always run the byte-identical job and input."""
+    ``scale`` (default: the GRAFT_BENCH_SCALE env via main) multiplies
+    the stream size if a longer-running measurement is wanted; both legs
+    always run the byte-identical job and input."""
     # warm the event cache once (parallel generation) so neither child
     # pays generation cost
     import ray
@@ -210,8 +211,13 @@ def run_scaling(low: int, high: int, scale: int = 1) -> dict:
                 env=env,
                 capture_output=True,
                 text=True,
-                check=True,
             )
+            if out.returncode != 0:
+                sys.stderr.write(out.stderr[-4000:])
+                raise RuntimeError(
+                    f"scaling child (cpus={n}) exited {out.returncode}; "
+                    "stderr above"
+                )
             all_runs[n].append(json.loads(out.stdout.strip().splitlines()[-1]))
     best = {n: max(rs, key=lambda r: r["flagship_events_per_sec"]) for n, rs in all_runs.items()}
     tput_low = best[low]["flagship_events_per_sec"]
@@ -249,7 +255,7 @@ def main() -> None:
 
     if args.scaling:
         low, high = (int(x) for x in args.scaling_cpus.split(","))
-        print(json.dumps(run_scaling(low, high)))
+        print(json.dumps(run_scaling(low, high, scale=BENCH_SCALE)))
         return
 
     import ray
