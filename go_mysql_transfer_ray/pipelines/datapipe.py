@@ -296,44 +296,42 @@ def simhash_dedup(
         )
 
     hashed = ds.map_batches(add_simhash, batch_format="pyarrow").to_pandas()
-    ids = hashed[id_col].to_numpy()
+    ids = hashed[id_col].to_numpy().astype(np.int64)
     hs = hashed["simhash"].to_numpy().astype(np.uint64)
     blocks = sketch.simhash_band_keys(hs, blocks=4)
 
-    cand = {}
-    for blk in range(blocks.shape[1]):
-        df = pd.DataFrame({"key": blocks[:, blk], "id": ids, "h": hs})
-        for _, grp in df.groupby("key"):
-            if len(grp) < 2:
-                continue
-            gi = grp["id"].to_numpy()
-            gh = grp["h"].to_numpy().astype(np.uint64)
-            ii, jj = np.triu_indices(len(gi), 1)
-            d = sketch.hamming64(gh[ii], gh[jj])
-            ok = d <= max_hamming
-            for a, b in zip(gi[ii][ok], gi[jj][ok]):
-                cand[(int(min(a, b)), int(max(a, b)))] = True
-
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in cand:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            lo, hi = (ra, rb) if ra < rb else (rb, ra)
-            parent[hi] = lo
+    # candidate pairs via the shared run-detection path (one frame with
+    # all 4 pigeonhole blocks); verify with a vectorized Hamming pass
+    n = len(ids)
+    cand_df = pd.DataFrame(
+        {
+            "blk": np.repeat(np.arange(blocks.shape[1], dtype=np.int64), n),
+            "key": blocks.T.reshape(-1).astype(np.int64),
+            id_col: np.tile(ids, blocks.shape[1]),
+        }
+    )
+    pairs = _pairs_from_buckets(cand_df, ["blk", "key"], id_col)
+    verified = []
+    if len(pairs):
+        hmap = dict(zip(ids, hs))
+        ha = np.array([hmap[int(a)] for a in pairs["a"]], dtype=np.uint64)
+        hb = np.array([hmap[int(b)] for b in pairs["b"]], dtype=np.uint64)
+        ok = sketch.hamming64(ha, hb) <= max_hamming
+        verified = list(
+            zip(pairs["a"].to_numpy()[ok], pairs["b"].to_numpy()[ok])
+        )
 
     order = np.argsort(ids)
+    clusters = dict(
+        zip(sorted(ids), _union_find_clusters(sorted(int(i) for i in ids), verified))
+    )
     return pa.table(
         {
-            id_col: pa.array(ids[order].astype(np.int64)),
+            id_col: pa.array(ids[order]),
             "simhash": pa.array([f"{h:016x}" for h in hs[order]], pa.string()),
-            "cluster_id": pa.array([find(int(i)) for i in ids[order]], pa.int64()),
+            "cluster_id": pa.array(
+                [clusters[int(i)] for i in ids[order]], pa.int64()
+            ),
         }
     )
 
