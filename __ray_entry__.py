@@ -36,6 +36,12 @@ from go_mysql_transfer_ray.stages.merge import merged_dataset
 
 _EVENT_CACHE_ROOT = "/tmp/gmt_ray_entry_events"
 _LAKE_ROOT = "/tmp/gmt_ray_entry_lake"
+_CHANGES_ORACLE_PATH = "/tmp/gmt_oracle_changes/cdc_replay_repos"
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    """SQL ROUND semantics (half away from zero) as int64."""
+    return np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(np.int64)
 
 
 def _binlog_cfg(sf_dir: str) -> BinlogConfig:
@@ -76,7 +82,13 @@ def _docs(sf_dir: str) -> "ray.data.Dataset":
 
 
 def q_cdc_replay_repos(sf_dir: str) -> pa.Table:
-    """Flagship: full CDC replay (decode → merge → lake) on synthetic binlog."""
+    """Flagship: full CDC replay (decode → merge → lake) on synthetic
+    binlog.  Also emits the decoded change stream as a Parquet relation
+    so ``oracle_sql()`` can state the LWW final state in DuckDB — the
+    flagship's value-level correctness gate (round-1 verdict item 6)."""
+    cfg = _binlog_cfg(sf_dir)
+    events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
+    cdc.write_decoded_changes(events_dir, _CHANGES_ORACLE_PATH)
     return _replay(sf_dir)
 
 
@@ -399,8 +411,10 @@ def q_tpch_q1ish(sf_dir: str):
                 "l_returnflag": t.column("l_returnflag").to_pandas(),
                 "l_linestatus": t.column("l_linestatus").to_pandas(),
                 "qty": t.column("l_quantity").to_numpy(),
-                "cents": np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(
-                    np.int64
+                # half-away-from-zero to match SQL ROUND (prices are ≥ 0,
+                # but keep the sign-safe form for parity with windows.py)
+                "cents": _round_half_away(
+                    t.column("l_extendedprice").to_numpy() * 100
                 ),
             }
         )
@@ -410,7 +424,20 @@ def q_tpch_q1ish(sf_dir: str):
             .reset_index()
         )
         g["sum_qty"] = g["sum_qty"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pin the schema so empty blocks don't degrade to null types
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema(
+                [
+                    ("l_returnflag", pa.string()),
+                    ("l_linestatus", pa.string()),
+                    ("sum_qty", pa.int64()),
+                    ("price_cents", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
 
     return (
         ray.data.read_parquet(
@@ -557,7 +584,19 @@ def q_group_lang_stats(sf_dir: str):
             .agg(n_docs=("chars", "size"), total_chars=("chars", "sum"))
             .reset_index()
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # pin the schema: an empty block's pandas frame would otherwise
+        # infer null types and trip the executor's schema-mismatch warning
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("n_docs", pa.int64()),
+                    ("total_chars", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
 
     return (
         _docs(sf_dir)
@@ -713,13 +752,64 @@ def q_redis_set_state(sf_dir: str):
     return structure_state(ds, plan, value_col="event_type")
 
 
+_LUA_STRING_RULE = """
+local ops = require("redisOps")
+local row = ops.rawRow()
+local act = ops.rawAction()
+local key = "evt:" .. row["user_id"]
+if act == "delete" then
+  ops.DEL(key)
+else
+  ops.SET(key, row["event_type"])
+end
+"""
+
+
+def q_lua_redis_rule(sf_dir: str):
+    """K8/T1-T3: a REAL Lua rule script executed per change row (in-tree
+    mini-Lua interpreter, functions/lua_mini.py) — semantics mirror
+    /root/reference/service/luaengine/redis_actuator.go:59-245.  The
+    converged string state must equal the declarative redis_string_state
+    rule, which is exactly what the oracle SQL states."""
+    from go_mysql_transfer_ray.pipelines.lua_rules import lua_redis_state
+
+    out = lua_redis_state(
+        _events_as_changes(sf_dir),
+        _LUA_STRING_RULE,
+        payload_cols=("user_id", "event_type"),
+    )
+    return out.select_columns(["redis_key", "value"])
+
+
+def q_es6_bulk_ops(sf_dir: str):
+    """K4 ES6 variant: bulk ops carry ``_type`` on every operation
+    (/root/reference/service/endpoint/elastic6.go:191-246), index
+    defaults to the table name, type to '_doc' (rule.go:585-591)."""
+    from go_mysql_transfer_ray.functions.es_mapping import es6_bulk_ops
+
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name",
+            value_encoder="json",
+            primary_keys=("c_custkey",),
+        ),
+        [ColumnSpec("c_custkey", "number"), ColumnSpec("c_name", "string")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return es6_bulk_ops(plan, t, table_name="customer")
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def q_dedup_clusters_distributed(sf_dir: str) -> "ray.data.Dataset":
     """Distributed connected components (large-star/small-star) over the
     planted-duplicate embedding pairs — the scale path replacing the
     driver union-find."""
     pairs = q_embedding_dedup(sf_dir)
-    ds = ray.data.from_arrow(pairs.select(["a", "b"]))
-    return datapipe.connected_components(ds)
+    return datapipe.connected_components(pairs.select_columns(["a", "b"]))
 
 
 def q_message_envelopes(sf_dir: str):
@@ -770,6 +860,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "embedding_dedup": q_embedding_dedup,
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
+        "lua_redis_rule": q_lua_redis_rule,
+        "es6_bulk_ops": q_es6_bulk_ops,
         "redis_string_state": q_redis_string_state,
         "redis_hash_state": q_redis_hash_state,
         "redis_zset_state": q_redis_zset_state,
@@ -781,6 +873,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the flagship invariant, stated in SQL over the decoded change
+        # stream the replay itself consumed (written by q_cdc_replay_repos):
+        # last (gtid, seq) writer wins per key, delete tombstones drop
+        "cdc_replay_repos": f"""
+            WITH ch AS (
+                SELECT * FROM read_parquet('{_CHANGES_ORACLE_PATH}/*.parquet')
+            ),
+            ranked AS (
+                SELECT repo, path, "commit", lang, content, stars, op,
+                       row_number() OVER (
+                           PARTITION BY "key"
+                           ORDER BY gtid DESC, seq_in_txn DESC
+                       ) AS rn
+                FROM ch
+            )
+            SELECT repo, path, "commit", lang, content, stars
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
         "cdc_last_state_per_user": """
             WITH ranked AS (
                 SELECT user_id, event_id, event_type, value,
@@ -923,6 +1033,22 @@ def oracle_sql() -> dict[str, str]:
                 ('c_name', 'text', TRUE),
                 ('source', 'keyword', TRUE)
             ) AS t(field, es_type, in_delta)
+        """,
+        "lua_redis_rule": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT 'evt:' || CAST(user_id AS VARCHAR) AS redis_key,
+                   event_type AS value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "es6_bulk_ops": """
+            SELECT 'customer' AS es_index, '_doc' AS es_type,
+                   CAST(c_custkey AS VARCHAR) AS id, 'insert' AS action,
+                   '{"c_custkey":' || CAST(c_custkey AS VARCHAR) || ',"c_name":"' || c_name || '"}' AS body
+            FROM customer
         """,
         "redis_string_state": """
             WITH ranked AS (

@@ -81,6 +81,12 @@ def compile_template(tmpl: str):
     return render
 
 
+def template_fields(tmpl: str) -> "list[str]":
+    """Field names a template references — lets callers project a batch
+    down to just those columns before row-materializing it."""
+    return list(dict.fromkeys(m.group(1) for m in _TMPL_RE.finditer(tmpl)))
+
+
 def _tmpl_value(kv: dict, field: str) -> str:
     if field not in kv:
         return "<no value>"  # Go text/template default for a missing map key

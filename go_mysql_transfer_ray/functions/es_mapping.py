@@ -48,6 +48,55 @@ def build_properties(
     return props
 
 
+ES6_DEFAULT_TYPE = "_doc"
+
+
+def es6_doc_type(es_type: "str | None") -> str:
+    """ES6 doc ``_type`` default (/root/reference/global/rule.go:589-591:
+    empty ``es_type`` → ``_doc``; es7 ignores the property)."""
+    return es_type or ES6_DEFAULT_TYPE
+
+
+def es6_bulk_ops(
+    plan: RulePlan,
+    batch,
+    *,
+    index: "str | None" = None,
+    es_type: "str | None" = None,
+    table_name: str = "",
+    action: str = "insert",
+):
+    """ES6 bulk-op rows: the K4 variant — ``_type`` carried on EVERY op
+    (/root/reference/service/endpoint/elastic6.go:191-246: prepareBulk
+    receives ``rule.ElsType`` for rule and Lua paths alike; index
+    defaults to the table name, rule.go:585-587).
+
+    Returns one row per change row: (es_index, es_type, id, action,
+    body) with id = stringified primary key (endpoint.go:309-322) and
+    body rendered by the rule's value encoder."""
+    import pyarrow as pa
+
+    import pyarrow.compute as pc
+
+    projected = plan.apply(batch)
+    body = plan.encode_values(projected)
+    # prepareBulk receives stringutil.ToString(id) (elastic6.go:218)
+    ids = plan.build_key(batch)
+    if not (ids.type == "string"):
+        ids = pc.cast(ids, "string")
+    n = batch.num_rows
+    idx = index or table_name
+    return pa.table(
+        {
+            "es_index": pa.array([idx] * n, pa.string()),
+            "es_type": pa.array([es6_doc_type(es_type)] * n, pa.string()),
+            "id": ids,
+            "action": pa.array([action] * n, pa.string()),
+            "body": body,
+        }
+    )
+
+
 def mapping_delta(existing: dict, desired: dict) -> dict:
     """Schema evolution: only the properties missing from the live index
     are added — never mutate or drop existing ones (elastic7.go:119-171)."""

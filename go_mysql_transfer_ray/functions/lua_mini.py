@@ -1,0 +1,1226 @@
+"""A small pure-Python Lua 5.1 interpreter for rule scripts.
+
+The reference's primary user-extension surface is a per-rule Lua script
+executed by gopher-lua (/root/reference/global/rule.go:621-694,
+/root/reference/service/luaengine/actuator.go:46-113).  The ``lupa``
+binding is a C extension that is not installed in (and cannot be added
+to) this environment, so this module implements the Lua subset those
+rule scripts actually use, from the public Lua 5.1 reference manual:
+
+* statements: ``local``, multi-assignment, ``if/elseif/else``,
+  ``while``, ``repeat/until``, numeric and generic ``for``, ``do``
+  blocks, ``function`` definitions (incl. ``local function`` and method
+  sugar), calls, ``return``, ``break``;
+* expressions: full operator set (``or and < > <= >= ~= == .. + - * /
+  % ^ not # unary-``) with Lua precedence, table constructors (array
+  part, ``k = v``, ``[expr] = v``), anonymous functions, method calls
+  ``obj:m(...)``, string/number literals (incl. hex, exponents, long
+  strings), varargs are NOT supported;
+* semantics: ``nil``/``false`` falsy; numbers are float64 (printed via
+  %.14g like gopher-lua's LNumber.String); ``..`` coerces numbers;
+  arithmetic coerces numeric strings; ``#`` on strings and tables;
+  1-based tables with separate hash part, deterministic iteration
+  (array part in order, then hash keys in insertion order);
+* stdlib: ``print type tostring tonumber pairs ipairs error assert
+  require`` plus ``string`` (len sub upper lower rep format find
+  gsub), ``table`` (insert remove concat), ``math`` (floor ceil abs
+  max min huge) — the slices rule scripts use.
+
+Host modules (redisOps, mongodbOps, esOps, mqOps, json, ...) are
+injected through ``require`` and as pre-set globals, mirroring
+``luaStatePool.New`` preloading (actuator.go:71-87).
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class LuaError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# values
+
+
+class LuaTable:
+    """Lua table: 1-based array part + insertion-ordered hash part."""
+
+    __slots__ = ("hash",)
+
+    def __init__(self):
+        self.hash: dict = {}
+
+    # -- host helpers -----------------------------------------------------
+    @classmethod
+    def from_dict(cls, d: dict) -> "LuaTable":
+        t = cls()
+        for k, v in d.items():
+            t.set(k, _to_lua(v))
+        return t
+
+    @classmethod
+    def from_list(cls, items) -> "LuaTable":
+        t = cls()
+        for i, v in enumerate(items, 1):
+            t.set(float(i), _to_lua(v))
+        return t
+
+    @staticmethod
+    def _norm(key):
+        # Lua: t[1] and t[1.0] are the same slot; strings stay strings
+        if isinstance(key, bool):
+            return key
+        if isinstance(key, (int, float)):
+            f = float(key)
+            return f
+        return key
+
+    def get(self, key):
+        return self.hash.get(self._norm(key))
+
+    def set(self, key, value):
+        k = self._norm(key)
+        if value is None:
+            self.hash.pop(k, None)
+        else:
+            self.hash[k] = value
+
+    def length(self) -> int:
+        n = 0
+        while float(n + 1) in self.hash:
+            n += 1
+        return n
+
+    def lua_items(self):
+        """Deterministic pairs(): array part 1..n first, then remaining
+        keys in insertion order."""
+        n = self.length()
+        seen = set()
+        for i in range(1, n + 1):
+            seen.add(float(i))
+            yield float(i), self.hash[float(i)]
+        for k, v in self.hash.items():
+            if k not in seen:
+                yield k, v
+
+    def maxn(self) -> int:
+        return self.length()
+
+    def __repr__(self):  # pragma: no cover - debug only
+        return f"LuaTable({self.hash!r})"
+
+
+def _to_lua(v):
+    if isinstance(v, dict):
+        return LuaTable.from_dict(v)
+    if isinstance(v, (list, tuple)):
+        return LuaTable.from_list(v)
+    return v
+
+
+def to_python(v, *, numbers_as: str = "float"):
+    """Lua value → plain Python (tables → dict, or list when the table is
+    a pure array — matching lvToInterface, actuator.go:196-231)."""
+    if isinstance(v, LuaTable):
+        n = v.length()
+        if n and len(v.hash) == n:
+            return [to_python(v.hash[float(i)], numbers_as=numbers_as) for i in range(1, n + 1)]
+        out = {}
+        for k, val in v.lua_items():
+            out[lua_tostring(k)] = to_python(val, numbers_as=numbers_as)
+        return out
+    return v
+
+
+def lua_tostring(v) -> str:
+    if v is None:
+        return "nil"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, float):
+        if v != v:
+            return "nan"
+        if v == float("inf"):
+            return "inf"
+        if v == float("-inf"):
+            return "-inf"
+        s = "%.14g" % v
+        return s
+    if isinstance(v, int):  # host-injected ints
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, LuaTable):
+        return f"table: 0x{id(v):012x}"
+    if callable(v):
+        return f"function: 0x{id(v):012x}"
+    return str(v)
+
+
+def lua_tonumber(v):
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        s = v.strip()
+        try:
+            if s.lower().startswith(("0x", "-0x")):
+                return float(int(s, 16))
+            return float(s)
+        except ValueError:
+            return None
+    return None
+
+
+def _truthy(v) -> bool:
+    return v is not None and v is not False
+
+
+# ---------------------------------------------------------------------------
+# lexer
+
+_KEYWORDS = {
+    "and", "break", "do", "else", "elseif", "end", "false", "for",
+    "function", "if", "in", "local", "nil", "not", "or", "repeat",
+    "return", "then", "true", "until", "while",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<longcomment>--\[(?P<lceq>=*)\[.*?\](?P=lceq)\])
+  | (?P<comment>--[^\n]*)
+  | (?P<longstr>\[(?P<lseq>=*)\[(?P<lsbody>.*?)\](?P=lseq)\])
+  | (?P<number>0[xX][0-9a-fA-F]+|\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)
+  | (?P<name>[A-Za-z_]\w*)
+  | (?P<string>'(?:\\.|[^'\\])*'|"(?:\\.|[^"\\])*")
+  | (?P<op>\.\.\.|\.\.|==|~=|<=|>=|[-+*/%^\#<>=(){}\[\];:,.])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b", "f": "\f",
+    "v": "\v", "\\": "\\", '"': '"', "'": "'", "\n": "\n",
+}
+
+
+def _unescape(body: str) -> str:
+    out = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c == "\\" and i + 1 < len(body):
+            nxt = body[i + 1]
+            if nxt.isdigit():
+                j = i + 1
+                while j < len(body) and j < i + 4 and body[j].isdigit():
+                    j += 1
+                out.append(chr(int(body[i + 1: j])))
+                i = j
+                continue
+            out.append(_ESCAPES.get(nxt, nxt))
+            i += 2
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def tokenize(src: str):
+    tokens = []
+    pos = 0
+    line = 1
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            raise LuaError(f"lex error at line {line}: {src[pos:pos+20]!r}")
+        line += src[pos: m.end()].count("\n")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment", "longcomment"):
+            # find which named group matched
+            pass
+        if m.group("ws") or m.group("comment") or m.group("longcomment"):
+            continue
+        if m.group("number"):
+            txt = m.group("number")
+            val = float(int(txt, 16)) if txt.lower().startswith("0x") else float(txt)
+            tokens.append(("number", val, line))
+        elif m.group("name"):
+            txt = m.group("name")
+            tokens.append((txt if txt in _KEYWORDS else "name", txt, line))
+        elif m.group("string"):
+            tokens.append(("string", _unescape(m.group("string")[1:-1]), line))
+        elif m.group("longstr"):
+            body = m.group("lsbody")
+            if body.startswith("\n"):
+                body = body[1:]
+            tokens.append(("string", body, line))
+        else:
+            tokens.append((m.group("op"), m.group("op"), line))
+    tokens.append(("eof", None, line))
+    return tokens
+
+
+# ---------------------------------------------------------------------------
+# parser → AST (tuples: (kind, ...))
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i][0]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind):
+        t = self.next()
+        if t[0] != kind:
+            raise LuaError(f"line {t[2]}: expected {kind!r}, got {t[0]!r}")
+        return t
+
+    def accept(self, kind):
+        if self.peek() == kind:
+            return self.next()
+        return None
+
+    # -- blocks -----------------------------------------------------------
+    def parse_chunk(self):
+        body = self.block(("eof",))
+        self.expect("eof")
+        return ("block", body)
+
+    def block(self, stoppers):
+        stmts = []
+        while self.peek() not in stoppers:
+            if self.peek() == "return":
+                self.next()
+                exprs = []
+                if self.peek() not in stoppers and self.peek() != ";":
+                    exprs = self.exprlist()
+                self.accept(";")
+                stmts.append(("return", exprs))
+                break
+            s = self.statement()
+            if s is not None:
+                stmts.append(s)
+        return stmts
+
+    def statement(self):
+        k = self.peek()
+        if k == ";":
+            self.next()
+            return None
+        if k == "break":
+            self.next()
+            return ("break",)
+        if k == "do":
+            self.next()
+            body = self.block(("end",))
+            self.expect("end")
+            return ("do", body)
+        if k == "while":
+            self.next()
+            cond = self.expr()
+            self.expect("do")
+            body = self.block(("end",))
+            self.expect("end")
+            return ("while", cond, body)
+        if k == "repeat":
+            self.next()
+            body = self.block(("until",))
+            self.expect("until")
+            cond = self.expr()
+            return ("repeat", body, cond)
+        if k == "if":
+            return self.if_stmt()
+        if k == "for":
+            return self.for_stmt()
+        if k == "function":
+            self.next()
+            # function Name{.name}[:name] (params) body end
+            name_tok = self.expect("name")
+            target = ("name", name_tok[1])
+            is_method = False
+            while self.peek() in (".", ":"):
+                sep = self.next()[0]
+                field = self.expect("name")[1]
+                target = ("index", target, ("const", field))
+                if sep == ":":
+                    is_method = True
+                    break
+            fn = self.funcbody(is_method)
+            return ("assign", [target], [fn])
+        if k == "local":
+            self.next()
+            if self.accept("function"):
+                name = self.expect("name")[1]
+                fn = self.funcbody(False)
+                return ("localfunc", name, fn)
+            names = [self.expect("name")[1]]
+            while self.accept(","):
+                names.append(self.expect("name")[1])
+            exprs = []
+            if self.accept("="):
+                exprs = self.exprlist()
+            return ("local", names, exprs)
+        # expression statement: call or assignment
+        e = self.suffixedexp()
+        if self.peek() in ("=", ","):
+            targets = [e]
+            while self.accept(","):
+                targets.append(self.suffixedexp())
+            self.expect("=")
+            exprs = self.exprlist()
+            for t in targets:
+                if t[0] not in ("name", "index"):
+                    raise LuaError("cannot assign to this expression")
+            return ("assign", targets, exprs)
+        if e[0] not in ("call", "method"):
+            raise LuaError(f"syntax error: unexpected expression statement {e[0]}")
+        return ("exprstat", e)
+
+    def if_stmt(self):
+        self.expect("if")
+        cond = self.expr()
+        self.expect("then")
+        body = self.block(("elseif", "else", "end"))
+        clauses = [(cond, body)]
+        while self.peek() == "elseif":
+            self.next()
+            c = self.expr()
+            self.expect("then")
+            b = self.block(("elseif", "else", "end"))
+            clauses.append((c, b))
+        els = []
+        if self.accept("else"):
+            els = self.block(("end",))
+        self.expect("end")
+        return ("if", clauses, els)
+
+    def for_stmt(self):
+        self.expect("for")
+        name = self.expect("name")[1]
+        if self.accept("="):
+            start = self.expr()
+            self.expect(",")
+            stop = self.expr()
+            step = ("const", 1.0)
+            if self.accept(","):
+                step = self.expr()
+            self.expect("do")
+            body = self.block(("end",))
+            self.expect("end")
+            return ("fornum", name, start, stop, step, body)
+        names = [name]
+        while self.accept(","):
+            names.append(self.expect("name")[1])
+        self.expect("in")
+        exprs = self.exprlist()
+        self.expect("do")
+        body = self.block(("end",))
+        self.expect("end")
+        return ("forin", names, exprs, body)
+
+    def funcbody(self, is_method):
+        self.expect("(")
+        params = ["self"] if is_method else []
+        if self.peek() != ")":
+            while True:
+                t = self.next()
+                if t[0] == "name":
+                    params.append(t[1])
+                elif t[0] == "...":
+                    break  # varargs accepted but ignored
+                else:
+                    raise LuaError(f"bad parameter {t[0]!r}")
+                if not self.accept(","):
+                    break
+        self.expect(")")
+        body = self.block(("end",))
+        self.expect("end")
+        return ("function", params, body)
+
+    # -- expressions ------------------------------------------------------
+    _BINPRI = {
+        "or": (1, 1), "and": (2, 2),
+        "<": (3, 3), ">": (3, 3), "<=": (3, 3), ">=": (3, 3),
+        "~=": (3, 3), "==": (3, 3),
+        "..": (9, 8),  # right assoc
+        "+": (10, 10), "-": (10, 10),
+        "*": (11, 11), "/": (11, 11), "%": (11, 11),
+        "^": (14, 13),  # right assoc
+    }
+    _UNARY_PRI = 12
+
+    def exprlist(self):
+        out = [self.expr()]
+        while self.accept(","):
+            out.append(self.expr())
+        return out
+
+    def expr(self, limit=0):
+        k = self.peek()
+        if k in ("not", "-", "#"):
+            op = self.next()[0]
+            operand = self.expr(self._UNARY_PRI)
+            left = ("unop", op, operand)
+        else:
+            left = self.simpleexp()
+        while True:
+            k = self.peek()
+            pri = self._BINPRI.get(k)
+            if pri is None or pri[0] <= limit:
+                break
+            op = self.next()[0]
+            right = self.expr(pri[1])
+            left = ("binop", op, left, right)
+        return left
+
+    def simpleexp(self):
+        k, v, line = self.toks[self.i]
+        if k == "number" or k == "string":
+            self.next()
+            return ("const", v)
+        if k == "nil":
+            self.next()
+            return ("const", None)
+        if k == "true":
+            self.next()
+            return ("const", True)
+        if k == "false":
+            self.next()
+            return ("const", False)
+        if k == "function":
+            self.next()
+            return self.funcbody(False)
+        if k == "{":
+            return self.tablector()
+        return self.suffixedexp()
+
+    def primaryexp(self):
+        k, v, line = self.toks[self.i]
+        if k == "(":
+            self.next()
+            e = self.expr()
+            self.expect(")")
+            return e
+        if k == "name":
+            self.next()
+            return ("name", v)
+        raise LuaError(f"line {line}: unexpected token {k!r}")
+
+    def suffixedexp(self):
+        e = self.primaryexp()
+        while True:
+            k = self.peek()
+            if k == ".":
+                self.next()
+                field = self.expect("name")[1]
+                e = ("index", e, ("const", field))
+            elif k == "[":
+                self.next()
+                idx = self.expr()
+                self.expect("]")
+                e = ("index", e, idx)
+            elif k == ":":
+                self.next()
+                meth = self.expect("name")[1]
+                args = self.callargs()
+                e = ("method", e, meth, args)
+            elif k in ("(", "string", "{"):
+                args = self.callargs()
+                e = ("call", e, args)
+            else:
+                return e
+
+    def callargs(self):
+        k = self.peek()
+        if k == "string":
+            return [("const", self.next()[1])]
+        if k == "{":
+            return [self.tablector()]
+        self.expect("(")
+        args = []
+        if self.peek() != ")":
+            args = self.exprlist()
+        self.expect(")")
+        return args
+
+    def tablector(self):
+        self.expect("{")
+        array_items = []
+        kv_items = []
+        while self.peek() != "}":
+            if self.peek() == "[":
+                self.next()
+                key = self.expr()
+                self.expect("]")
+                self.expect("=")
+                kv_items.append((key, self.expr()))
+            elif (
+                self.peek() == "name"
+                and self.toks[self.i + 1][0] == "="
+            ):
+                key = ("const", self.next()[1])
+                self.expect("=")
+                kv_items.append((key, self.expr()))
+            else:
+                array_items.append(self.expr())
+            if not (self.accept(",") or self.accept(";")):
+                break
+        self.expect("}")
+        return ("table", array_items, kv_items)
+
+
+def parse(src: str):
+    return _Parser(tokenize(src)).parse_chunk()
+
+
+# ---------------------------------------------------------------------------
+# interpreter
+
+
+class _Break(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, values):
+        self.values = values
+
+
+class _Env:
+    __slots__ = ("vars", "parent")
+
+    def __init__(self, parent=None):
+        self.vars: dict = {}
+        self.parent = parent
+
+    def lookup(self, name):
+        env = self
+        while env is not None:
+            if name in env.vars:
+                return env.vars[name]
+            env = env.parent
+        return None
+
+    def assign(self, name, value):
+        env = self
+        while env is not None:
+            if name in env.vars:
+                env.vars[name] = value
+                return
+            env = env.parent
+        # new global
+        root = self
+        while root.parent is not None:
+            root = root.parent
+        root.vars[name] = value
+
+    def declare(self, name, value):
+        self.vars[name] = value
+
+
+class LuaFunction:
+    __slots__ = ("params", "body", "env", "interp")
+
+    def __init__(self, params, body, env, interp):
+        self.params, self.body, self.env, self.interp = params, body, env, interp
+
+    def __call__(self, *args):
+        env = _Env(self.env)
+        for i, p in enumerate(self.params):
+            env.declare(p, args[i] if i < len(args) else None)
+        try:
+            self.interp.exec_block(self.body, env)
+        except _Return as r:
+            return tuple(r.values)
+        return ()
+
+
+def _arith(op, a, b):
+    x, y = lua_tonumber(a), lua_tonumber(b)
+    if x is None or y is None:
+        raise LuaError(f"attempt to perform arithmetic on a {type(a).__name__}/{type(b).__name__}")
+    if op == "+":
+        return x + y
+    if op == "-":
+        return x - y
+    if op == "*":
+        return x * y
+    if op == "/":
+        if y == 0:
+            return float("inf") if x > 0 else (float("-inf") if x < 0 else float("nan"))
+        return x / y
+    if op == "%":
+        if y == 0:
+            return float("nan")
+        return x - (x // y) * y  # Lua: floored modulo
+    if op == "^":
+        return x ** y
+    raise LuaError(f"bad arith op {op}")
+
+
+def _compare(op, a, b):
+    if isinstance(a, (int, float)) and not isinstance(a, bool) and isinstance(
+        b, (int, float)
+    ) and not isinstance(b, bool):
+        pass
+    elif isinstance(a, str) and isinstance(b, str):
+        pass
+    else:
+        raise LuaError(f"attempt to compare {type(a).__name__} with {type(b).__name__}")
+    if op == "<":
+        return a < b
+    if op == ">":
+        return a > b
+    if op == "<=":
+        return a <= b
+    return a >= b
+
+
+class Interpreter:
+    """One compiled chunk + its globals — compile once, run many
+    (the reference's NewFunctionFromProto reuse,
+    /root/reference/service/luaengine/redis_actuator.go:186-191)."""
+
+    def __init__(self, src: str, modules: "dict | None" = None,
+                 globals_: "dict | None" = None):
+        self.ast = parse(src)
+        self.modules = dict(modules or {})
+        self.root = _Env()
+        self._install_stdlib()
+        for k, v in (globals_ or {}).items():
+            self.root.declare(k, v)
+
+    # -- public -----------------------------------------------------------
+    def run(self, extra_globals: "dict | None" = None):
+        for k, v in (extra_globals or {}).items():
+            self.root.declare(k, v)
+        try:
+            self.exec_block(self.ast[1], _Env(self.root))
+        except _Return:
+            pass
+        return self
+
+    def global_get(self, name):
+        return self.root.lookup(name)
+
+    def global_set(self, name, value):
+        self.root.declare(name, value)
+
+    # -- stdlib -----------------------------------------------------------
+    def _install_stdlib(self):
+        prints: list[str] = []
+        self.printed = prints
+
+        def lua_print(*args):
+            prints.append("\t".join(lua_tostring(a) for a in args))
+            return ()
+
+        def lua_type(v=None):
+            if v is None:
+                return ("nil",)
+            if isinstance(v, bool):
+                return ("boolean",)
+            if isinstance(v, (int, float)):
+                return ("number",)
+            if isinstance(v, str):
+                return ("string",)
+            if isinstance(v, LuaTable):
+                return ("table",)
+            return ("function",)
+
+        def lua_pairs(t):
+            items = list(t.lua_items())
+            idx = [0]
+
+            def nxt(*_):
+                if idx[0] >= len(items):
+                    return (None,)
+                k, v = items[idx[0]]
+                idx[0] += 1
+                return (k, v)
+
+            return (nxt, t, None)
+
+        def lua_ipairs(t):
+            idx = [0]
+
+            def nxt(*_):
+                idx[0] += 1
+                v = t.get(float(idx[0]))
+                if v is None:
+                    return (None,)
+                return (float(idx[0]), v)
+
+            return (nxt, t, 0.0)
+
+        def lua_require(name):
+            if name in self.modules:
+                return (self.modules[name],)
+            raise LuaError(f"module '{name}' not found")
+
+        def lua_error(msg=None, _level=None):
+            raise LuaError(lua_tostring(msg))
+
+        def lua_assert(v=None, msg=None):
+            if not _truthy(v):
+                raise LuaError(lua_tostring(msg) if msg is not None else "assertion failed!")
+            return (v,)
+
+        def _fmt(spec: str, args: list):
+            out = []
+            ai = 0
+            i = 0
+            while i < len(spec):
+                c = spec[i]
+                if c == "%" and i + 1 < len(spec):
+                    m = re.match(r"%[-+ #0]*\d*(?:\.\d+)?[diouxXeEfgGqsc%]", spec[i:])
+                    if not m:
+                        raise LuaError(f"bad format {spec[i:]!r}")
+                    f = m.group(0)
+                    i += len(f)
+                    if f == "%%":
+                        out.append("%")
+                        continue
+                    conv = f[-1]
+                    a = args[ai]
+                    ai += 1
+                    if conv in "diouxX":
+                        out.append(f[:-1].replace("i", "d") % int(lua_tonumber(a)) if conv == "i" else f % int(lua_tonumber(a)))
+                    elif conv in "eEfgG":
+                        out.append(f % lua_tonumber(a))
+                    elif conv == "q":
+                        out.append('"%s"' % lua_tostring(a).replace("\\", "\\\\").replace('"', '\\"').replace("\n", "\\n"))
+                    elif conv == "c":
+                        out.append(chr(int(lua_tonumber(a))))
+                    else:
+                        out.append(f % lua_tostring(a))
+                    continue
+                out.append(c)
+                i += 1
+            return "".join(out)
+
+        string_mod = LuaTable.from_dict({})
+        string_mod.set("len", lambda s: (float(len(s)),))
+        string_mod.set(
+            "sub",
+            lambda s, i, j=None: (_str_sub(s, int(i), None if j is None else int(j)),),
+        )
+        string_mod.set("upper", lambda s: (s.upper(),))
+        string_mod.set("lower", lambda s: (s.lower(),))
+        string_mod.set("rep", lambda s, n: (s * int(n),))
+        string_mod.set("format", lambda spec, *a: (_fmt(spec, list(a)),))
+        string_mod.set(
+            "find",
+            lambda s, pat, init=1.0, plain=None: _str_find(s, pat, int(init)),
+        )
+        string_mod.set(
+            "gsub",
+            lambda s, pat, repl, n=None: _str_gsub(s, pat, repl, n),
+        )
+
+        table_mod = LuaTable.from_dict({})
+
+        def t_insert(t, a, b=None):
+            if b is None:
+                t.set(float(t.length() + 1), a)
+            else:
+                pos = int(a)
+                n = t.length()
+                for i in range(n, pos - 1, -1):
+                    t.set(float(i + 1), t.get(float(i)))
+                t.set(float(pos), b)
+            return ()
+
+        def t_remove(t, pos=None):
+            n = t.length()
+            if n == 0:
+                return (None,)
+            p = n if pos is None else int(pos)
+            v = t.get(float(p))
+            for i in range(p, n):
+                t.set(float(i), t.get(float(i + 1)))
+            t.set(float(n), None)
+            return (v,)
+
+        def t_concat(t, sep="", i=1.0, j=None):
+            n = t.length() if j is None else int(j)
+            return (sep.join(lua_tostring(t.get(float(x))) for x in range(int(i), n + 1)),)
+
+        table_mod.set("insert", t_insert)
+        table_mod.set("remove", t_remove)
+        table_mod.set("concat", t_concat)
+
+        math_mod = LuaTable.from_dict({})
+        math_mod.set("floor", lambda x: (float(int(lua_tonumber(x) // 1)),))
+        math_mod.set("ceil", lambda x: (float(-int(-lua_tonumber(x) // 1)),))
+        math_mod.set("abs", lambda x: (abs(lua_tonumber(x)),))
+        math_mod.set("max", lambda *a: (max(lua_tonumber(x) for x in a),))
+        math_mod.set("min", lambda *a: (min(lua_tonumber(x) for x in a),))
+        math_mod.set("huge", None)
+        math_mod.hash["huge"] = float("inf")
+
+        g = self.root
+        g.declare("print", lua_print)
+        g.declare("type", lua_type)
+        g.declare("tostring", lambda v=None: (lua_tostring(v),))
+        g.declare("tonumber", lambda v=None, base=None: (
+            (float(int(v, int(base))) if isinstance(v, str) and base is not None else lua_tonumber(v)),
+        ))
+        g.declare("pairs", lua_pairs)
+        g.declare("ipairs", lua_ipairs)
+        g.declare("require", lua_require)
+        g.declare("error", lua_error)
+        g.declare("assert", lua_assert)
+        g.declare("string", string_mod)
+        g.declare("table", table_mod)
+        g.declare("math", math_mod)
+
+    # -- execution --------------------------------------------------------
+    def exec_block(self, stmts, env):
+        for s in stmts:
+            self.exec_stmt(s, env)
+
+    def exec_stmt(self, s, env):
+        kind = s[0]
+        if kind == "local":
+            _, names, exprs = s
+            vals = self.eval_list(exprs, env, len(names))
+            for n, v in zip(names, vals):
+                env.declare(n, v)
+        elif kind == "localfunc":
+            _, name, fnexpr = s
+            env.declare(name, None)
+            env.vars[name] = self.eval(fnexpr, env)
+        elif kind == "assign":
+            _, targets, exprs = s
+            vals = self.eval_list(exprs, env, len(targets))
+            for t, v in zip(targets, vals):
+                if t[0] == "name":
+                    env.assign(t[1], v)
+                else:  # index
+                    obj = self.eval(t[1], env)
+                    key = self.eval(t[2], env)
+                    if not isinstance(obj, LuaTable):
+                        raise LuaError("attempt to index a non-table value")
+                    obj.set(key, v)
+        elif kind == "exprstat":
+            self.eval_multi(s[1], env)
+        elif kind == "do":
+            self.exec_block(s[1], _Env(env))
+        elif kind == "if":
+            _, clauses, els = s
+            for cond, body in clauses:
+                if _truthy(self.eval(cond, env)):
+                    self.exec_block(body, _Env(env))
+                    return
+            if els:
+                self.exec_block(els, _Env(env))
+        elif kind == "while":
+            _, cond, body = s
+            while _truthy(self.eval(cond, env)):
+                try:
+                    self.exec_block(body, _Env(env))
+                except _Break:
+                    break
+        elif kind == "repeat":
+            _, body, cond = s
+            while True:
+                inner = _Env(env)
+                try:
+                    self.exec_block(body, inner)
+                except _Break:
+                    break
+                if _truthy(self.eval(cond, inner)):
+                    break
+        elif kind == "fornum":
+            _, name, start, stop, step, body = s
+            i = lua_tonumber(self.eval(start, env))
+            stop_v = lua_tonumber(self.eval(stop, env))
+            step_v = lua_tonumber(self.eval(step, env))
+            if i is None or stop_v is None or step_v is None or step_v == 0:
+                raise LuaError("'for' initial value must be a number")
+            while (step_v > 0 and i <= stop_v) or (step_v < 0 and i >= stop_v):
+                inner = _Env(env)
+                inner.declare(name, i)
+                try:
+                    self.exec_block(body, inner)
+                except _Break:
+                    break
+                i += step_v
+        elif kind == "forin":
+            _, names, exprs, body = s
+            vals = self.eval_list(exprs, env, 3)
+            fn, state, ctrl = vals[0], vals[1], vals[2]
+            while True:
+                res = self.call(fn, [state, ctrl])
+                if not res or res[0] is None:
+                    break
+                ctrl = res[0]
+                inner = _Env(env)
+                for i, n in enumerate(names):
+                    inner.declare(n, res[i] if i < len(res) else None)
+                try:
+                    self.exec_block(body, inner)
+                except _Break:
+                    break
+        elif kind == "return":
+            vals = []
+            exprs = s[1]
+            for i, e in enumerate(exprs):
+                if i == len(exprs) - 1:
+                    vals.extend(self.eval_multi(e, env))
+                else:
+                    vals.append(self.eval(e, env))
+            raise _Return(vals)
+        elif kind == "break":
+            raise _Break()
+        else:
+            raise LuaError(f"unknown statement {kind}")
+
+    def eval_list(self, exprs, env, want):
+        vals = []
+        for i, e in enumerate(exprs):
+            if i == len(exprs) - 1:
+                vals.extend(self.eval_multi(e, env))
+            else:
+                vals.append(self.eval(e, env))
+        while len(vals) < want:
+            vals.append(None)
+        return vals
+
+    def eval_multi(self, e, env):
+        """Evaluate, preserving multiple results for calls."""
+        if e[0] == "call":
+            fn = self.eval(e[1], env)
+            args = self._args(e[2], env)
+            return list(self.call(fn, args))
+        if e[0] == "method":
+            obj = self.eval(e[1], env)
+            if isinstance(obj, LuaTable):
+                fn = obj.get(e[2])
+            elif isinstance(obj, str):
+                smod = self.root.lookup("string")
+                fn = smod.get(e[2]) if smod else None
+            else:
+                raise LuaError("attempt to index a non-table value (method call)")
+            args = [obj] + self._args(e[3], env)
+            return list(self.call(fn, args))
+        return [self.eval(e, env)]
+
+    def _args(self, arg_exprs, env):
+        args = []
+        for i, a in enumerate(arg_exprs):
+            if i == len(arg_exprs) - 1:
+                args.extend(self.eval_multi(a, env))
+            else:
+                args.append(self.eval(a, env))
+        return args
+
+    def call(self, fn, args):
+        if fn is None:
+            raise LuaError("attempt to call a nil value")
+        if isinstance(fn, LuaFunction):
+            return fn(*args)
+        if callable(fn):
+            res = fn(*args)
+            if res is None:
+                return ()
+            if isinstance(res, tuple):
+                return res
+            return (res,)
+        raise LuaError(f"attempt to call a {type(fn).__name__} value")
+
+    def eval(self, e, env):
+        kind = e[0]
+        if kind == "const":
+            return e[1]
+        if kind == "name":
+            return env.lookup(e[1])
+        if kind == "index":
+            obj = self.eval(e[1], env)
+            key = self.eval(e[2], env)
+            if isinstance(obj, LuaTable):
+                return obj.get(key)
+            if isinstance(obj, str):
+                # string methods via the string module
+                smod = self.root.lookup("string")
+                return smod.get(key) if smod else None
+            if obj is None:
+                raise LuaError(f"attempt to index a nil value ({e[1]})")
+            raise LuaError("attempt to index a non-table value")
+        if kind in ("call", "method"):
+            res = self.eval_multi(e, env)
+            return res[0] if res else None
+        if kind == "function":
+            return LuaFunction(e[1], e[2], env, self)
+        if kind == "table":
+            t = LuaTable()
+            _, arr, kv = e
+            i = 1
+            for j, item in enumerate(arr):
+                if j == len(arr) - 1:
+                    for v in self.eval_multi(item, env):
+                        t.set(float(i), v)
+                        i += 1
+                else:
+                    t.set(float(i), self.eval(item, env))
+                    i += 1
+            for k_expr, v_expr in kv:
+                t.set(self.eval(k_expr, env), self.eval(v_expr, env))
+            return t
+        if kind == "unop":
+            op = e[1]
+            if op == "not":
+                return not _truthy(self.eval(e[2], env))
+            if op == "-":
+                v = lua_tonumber(self.eval(e[2], env))
+                if v is None:
+                    raise LuaError("attempt to perform arithmetic on a non-number")
+                return -v
+            if op == "#":
+                v = self.eval(e[2], env)
+                if isinstance(v, str):
+                    return float(len(v))
+                if isinstance(v, LuaTable):
+                    return float(v.length())
+                raise LuaError("attempt to get length of a non-table/string")
+        if kind == "binop":
+            op = e[1]
+            if op == "and":
+                left = self.eval(e[2], env)
+                return self.eval(e[3], env) if _truthy(left) else left
+            if op == "or":
+                left = self.eval(e[2], env)
+                return left if _truthy(left) else self.eval(e[3], env)
+            a = self.eval(e[2], env)
+            b = self.eval(e[3], env)
+            if op == "==":
+                return _lua_eq(a, b)
+            if op == "~=":
+                return not _lua_eq(a, b)
+            if op in ("<", ">", "<=", ">="):
+                return _compare(op, a, b)
+            if op == "..":
+                return _concat(a) + _concat(b)
+            return _arith(op, a, b)
+        raise LuaError(f"unknown expression {kind}")
+
+
+def _lua_eq(a, b):
+    if isinstance(a, bool) or isinstance(b, bool):
+        return a is b
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return float(a) == float(b)
+    if type(a) is not type(b) and not (
+        isinstance(a, str) and isinstance(b, str)
+    ):
+        return a is b
+    if isinstance(a, (LuaTable,)) or callable(a):
+        return a is b
+    return a == b
+
+
+def _concat(v) -> str:
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return lua_tostring(float(v) if isinstance(v, int) else v)
+    if isinstance(v, str):
+        return v
+    raise LuaError(f"attempt to concatenate a {type(v).__name__} value")
+
+
+def _str_sub(s: str, i: int, j: "int | None") -> str:
+    n = len(s)
+    if j is None:
+        j = -1
+    if i < 0:
+        i = max(n + i + 1, 1)
+    elif i == 0:
+        i = 1
+    if j < 0:
+        j = n + j + 1
+    elif j > n:
+        j = n
+    if i > j:
+        return ""
+    return s[i - 1: j]
+
+
+def _lua_pat_to_re(pat: str) -> str:
+    """Tiny Lua-pattern → Python-regex translation (the classes rule
+    scripts use: %d %a %s %w %p and their uppercase negations, anchors,
+    ``.``, ``*``, ``+``, ``-`` (lazy), ``?``, sets)."""
+    out = []
+    i = 0
+    classes = {"d": r"\d", "a": "[a-zA-Z]", "s": r"\s", "w": r"\w",
+               "p": r"[\!-\/\:-\@\[-\`\{-\~]", "l": "[a-z]", "u": "[A-Z]"}
+    while i < len(pat):
+        c = pat[i]
+        if c == "%":
+            nxt = pat[i + 1] if i + 1 < len(pat) else ""
+            low = nxt.lower()
+            if low in classes:
+                cls = classes[low]
+                if nxt.isupper():
+                    cls = f"(?!{cls})." if cls.startswith("(") else (
+                        "[^" + cls[1:-1] + "]" if cls.startswith("[") else f"[^{cls[-1]}]"
+                    )
+                out.append(cls)
+            else:
+                out.append(re.escape(nxt))
+            i += 2
+            continue
+        if c == "-":
+            # lazy quantifier only when something repeatable precedes it
+            # (Lua treats a leading '-' as a literal)
+            if out and out[-1] not in ("^", "(", "*", "+", "?", "*?") and not out[-1].endswith(("*", "+", "?")):
+                out.append("*?")
+            else:
+                out.append(re.escape("-"))
+            i += 1
+            continue
+        if c in ".*+?^$()[]":
+            out.append(c)
+            i += 1
+            continue
+        out.append(re.escape(c))
+        i += 1
+    return "".join(out)
+
+
+def _str_find(s: str, pat: str, init: int = 1):
+    m = re.compile(_lua_pat_to_re(pat)).search(s, init - 1)
+    if not m:
+        return (None,)
+    return (float(m.start() + 1), float(m.end()))
+
+
+def _str_gsub(s: str, pat: str, repl, n=None):
+    count = 0 if n is None else int(n)
+    if isinstance(repl, str):
+        py_repl = repl.replace("\\", "\\\\").replace("%1", r"\1").replace("%0", r"\g<0>")
+        out, cnt = re.subn(_lua_pat_to_re(pat), py_repl, s, count=count)
+    else:
+        def f(m):
+            r = repl(m.group(0)) if callable(repl) else m.group(0)
+            if isinstance(r, tuple):
+                r = r[0] if r else None
+            return lua_tostring(r) if r is not None else m.group(0)
+
+        out, cnt = re.subn(_lua_pat_to_re(pat), f, s, count=count)
+    return (out, float(cnt))

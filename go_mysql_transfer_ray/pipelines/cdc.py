@@ -57,6 +57,54 @@ BASE_SPECS = [ColumnSpec(c, "string") for c in BASE_COLUMNS]
 _DDL_TYPE_MAP = {"int64": "number", "double": "float", "string": "string"}
 
 
+def _code_digest(code) -> bytes:
+    """Stable digest of a code object: bytecode + consts, with NESTED
+    code objects (inner lambdas / genexps) hashed recursively instead of
+    repr()'d — repr embeds memory addresses, which made round-1 plan
+    signatures unstable across processes (ADVICE item 1)."""
+    import types
+
+    h = hashlib.sha256(code.co_code)
+    for c in code.co_consts:
+        if isinstance(c, types.CodeType):
+            h.update(_code_digest(c))
+        else:
+            h.update(repr(c).encode())
+    return h.digest()
+
+
+def _fn_sig(fn) -> "str | None":
+    """Identify a UDF/transform for the plan signature.
+
+    Covers qualname + bytecode + nested code + CAPTURED STATE: closure
+    cell contents and defaults — two UDFs minted by the same factory
+    with different captured config must not share a signature (they
+    would wrongly fence each other's finished partitions on resume).
+    Captured functions recurse through this same signature."""
+    if fn is None:
+        return None
+    h = hashlib.sha256()
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+        h.update(_code_digest(code))
+    for cell in getattr(fn, "__closure__", None) or ():
+        try:
+            v = cell.cell_contents
+        except ValueError:  # empty cell
+            h.update(b"<empty-cell>")
+            continue
+        if callable(v):
+            h.update((_fn_sig(v) or repr(v)).encode())
+        else:
+            h.update(repr(v).encode())
+    for d in getattr(fn, "__defaults__", None) or ():
+        h.update(repr(d).encode())
+    kwd = getattr(fn, "__kwdefaults__", None)
+    if kwd:
+        h.update(repr(sorted(kwd.items())).encode())
+    return f"{getattr(fn, '__qualname__', repr(fn))}:{h.hexdigest()[:16]}"
+
+
 def event_files(events_dir: str) -> list[str]:
     files = sorted(glob.glob(os.path.join(events_dir, "events-*.parquet")))
     if not files:
@@ -283,19 +331,6 @@ def replay(
     # the plan signature identifies this run's configuration: resume only
     # fences manifests written under the SAME plan, and partitions from a
     # different plan are reconciled away after this run's writes land.
-    # Callables are identified by qualname + bytecode hash — two distinct
-    # lambdas (or an edited function body) must not share a plan
-    def _fn_sig(fn) -> "str | None":
-        if fn is None:
-            return None
-        code = getattr(fn, "__code__", None)
-        body = (
-            hashlib.sha256(code.co_code + repr(code.co_consts).encode()).hexdigest()[:16]
-            if code is not None
-            else ""
-        )
-        return f"{getattr(fn, '__qualname__', repr(fn))}:{body}"
-
     plan_sig = repr(
         (
             rule_config,
@@ -436,6 +471,33 @@ def replay(
         "rows": int(metrics["rows"].sum()) if len(metrics) else 0,
         "resumed": bool(skip),
     }
+
+
+def write_decoded_changes(events_dir: str, out_path: str) -> str:
+    """Decoded change stream → Parquet relation for external oracles.
+
+    The flagship replay's correctness statement is "lake = LWW over the
+    decoded change stream"; this emits that stream (the exact rows the
+    merge consumes: key, gtid, seq_in_txn, op, payload columns) as a
+    DuckDB-readable Parquet directory so the driver oracle can state the
+    LWW in SQL (round-1 verdict item 6).  Deterministic for a given
+    events_dir — the generator is seeded — so re-writes are idempotent."""
+    import shutil
+
+    facts = stream_facts(events_dir)
+    ddl_events = sorted(facts["ddl_events"], key=lambda d: d["gtid"])
+    ddl_gtid = [d["gtid"] for d in ddl_events] or None
+    ds = ray.data.read_parquet(event_files(events_dir))
+    ds = ds.map_batches(
+        Decoder(ddl_gtid=ddl_gtid, ddl_columns=_ddl_columns(ddl_events)),
+        batch_format="pyarrow",
+    )
+    tmp = out_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.rename(tmp, out_path)
+    return out_path
 
 
 def incremental_replay(events_dir: str, out_dir: str, **replay_kw) -> dict:

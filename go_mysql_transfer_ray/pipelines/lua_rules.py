@@ -1,0 +1,118 @@
+"""Lua rule scripts as a pipeline stage — the reference's script sinks.
+
+The reference executes a per-rule Lua script for every change row and
+applies the decoded ops to the sink
+(/root/reference/service/luaengine/redis_actuator.go:59-245,
+``DoRedisOps`` → Redis pipeline apply redis.go:148-223).  Here the script
+runs inside a ``map_batches`` ACTOR pool (compiled once per actor — T2)
+over the change stream, and the decoded Redis ops feed the same LWW
+structure merge the declarative Redis rules use (stages/redis_state.py),
+yielding the converged final state a real Redis would hold.
+
+Per-row execution is inherent to the Lua contract (the reference runs the
+script per RowRequest); everything around it — decode, merge, shuffle —
+stays vectorized.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.encoders import to_string_go
+from ..functions.lua_shim import LuaScriptRunner
+from ..stages.merge import merged_dataset
+
+_SEP = "\x00"
+_STRUCT_RANK = {"string": 1, "hash": 2, "list": 3, "set": 4, "sortedset": 5}
+
+
+class LuaRedisActor:
+    """Actor-pool stage: change rows → Lua script → redis op rows.
+
+    ``__init__`` compiles the script once per actor (T1/T2); ``__call__``
+    executes it per row (the reference contract) and emits one merge row
+    per decoded op, keyed so the LWW merge converges each structure
+    entry: string → key, hash → key+field, set/zset → key+member."""
+
+    def __init__(self, script: str, payload_cols: "tuple[str, ...]",
+                 order_cols: "tuple[str, str]" = ("gtid", "seq_in_txn"),
+                 lookup: "dict | None" = None):
+        self.runner = LuaScriptRunner(script, lookup=lookup)
+        self.payload_cols = payload_cols
+        self.order_cols = order_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        gtid = t.column(self.order_cols[0]).to_numpy(zero_copy_only=False)
+        seq = t.column(self.order_cols[1]).to_numpy(zero_copy_only=False)
+        op_col = t.column("op").to_pylist()
+        payload = t.select(list(self.payload_cols)).to_pylist()
+        before = (
+            t.column("before").to_pylist() if "before" in t.column_names else None
+        )
+        keys, gtids, seqs, ops = [], [], [], []
+        redis_keys, fields, values, scores = [], [], [], []
+        for i, row in enumerate(payload):
+            old = before[i] if before is not None else None
+            decoded = self.runner.execute(row, old, op_col[i])["redis"]
+            for j, op in enumerate(decoded):
+                struct = op.structure
+                if struct == "hash":
+                    mk = f"{struct}{_SEP}{op.key}{_SEP}{op.field}"
+                elif struct in ("set", "sortedset"):
+                    member = to_string_go(op.val)
+                    mk = f"{struct}{_SEP}{op.key}{_SEP}{member}"
+                else:
+                    mk = f"{struct}{_SEP}{op.key}"
+                keys.append(mk)
+                gtids.append(int(gtid[i]))
+                # intra-row op order is part of the LWW order (a script
+                # may DEL then SET the same key for one event)
+                seqs.append(int(seq[i]) * 16 + j)
+                ops.append("delete" if op.action == "delete" else "insert")
+                redis_keys.append(op.key)
+                fields.append(op.field)
+                values.append(
+                    op.val if isinstance(op.val, str) else to_string_go(op.val)
+                )
+                scores.append(op.score)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "gtid": pa.array(np.asarray(gtids, dtype=np.int64)),
+                "seq_in_txn": pa.array(np.asarray(seqs, dtype=np.int32)),
+                "op": pa.array(ops, pa.string()),
+                "redis_key": pa.array(redis_keys, pa.string()),
+                "field": pa.array(fields, pa.string()),
+                "value": pa.array(values, pa.string()),
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+
+def lua_redis_state(
+    ds,
+    script: str,
+    *,
+    payload_cols: "tuple[str, ...]",
+    order_cols: "tuple[str, str]" = ("gtid", "seq_in_txn"),
+    lookup: "dict | None" = None,
+    num_partitions: int = 16,
+    concurrency: "int | tuple[int, int]" = (1, 4),
+):
+    """Converged Redis state produced by a Lua rule script.
+
+    ``ds``: change-event dataset with ``op`` + ``order_cols`` +
+    ``payload_cols``.  Returns a Dataset of surviving entries
+    ``(redis_key, field, value, score)`` after the LWW merge (delete
+    tombstones dropped) — identical semantics to replaying the script's
+    ops against a Redis in log order."""
+    ops = ds.map_batches(
+        LuaRedisActor,
+        fn_constructor_args=(script, tuple(payload_cols), tuple(order_cols), lookup),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    return merged_dataset(
+        ops, num_partitions, final_columns=["redis_key", "field", "value", "score"]
+    )

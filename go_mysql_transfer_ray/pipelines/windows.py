@@ -52,7 +52,15 @@ def tumbling_aggregate(
         # and np.rint(NaN).astype(int64) would silently produce INT64_MIN
         valid = ~np.isnan(vals)
         safe = np.where(valid, vals, 0.0)
-        v = np.rint(safe * 100).astype(np.int64) if cents else safe
+        # half-away-from-zero, matching SQL ROUND (np.rint rounds half to
+        # even — a .5-cent tie would diverge from the DuckDB oracle)
+        v = (
+            np.where(
+                safe >= 0, np.floor(safe * 100 + 0.5), np.ceil(safe * 100 - 0.5)
+            ).astype(np.int64)
+            if cents
+            else safe
+        )
         df = pd.DataFrame(
             {
                 "window_start": w.to_pandas(),
@@ -130,6 +138,7 @@ def asof_forward_fill(
         )
 
     from ..stages.merge import key_hash
+    from ..stages.shuffle import storage_fold
 
     def add_part(t: pa.Table) -> pa.Table:
         k = t.column(key_col)
@@ -138,9 +147,12 @@ def asof_forward_fill(
         part = (key_hash(k) % np.uint64(num_partitions)).astype(np.int32)
         return t.append_column("_part", pa.array(part, pa.int32()))
 
-    return (
-        ds.map_batches(add_part, batch_format="pyarrow")
-        .groupby("_part")
-        .map_groups(fill, batch_format="pyarrow")
-        .drop_columns(["_part"])
+    # the exchange is the storage shuffle (stages/shuffle.storage_fold),
+    # not the CPU-count-invariant sort groupby — same fill fold per
+    # co-located key partition
+    return storage_fold(
+        ds.map_batches(add_part, batch_format="pyarrow"),
+        num_partitions,
+        fill,
+        label="asof",
     )

@@ -121,14 +121,20 @@ def merged_dataset(
 
     Input needs columns (key, gtid, seq_in_txn, op, payload...).  Used by
     generic keyed-upsert pipelines (e.g. last-state-per-key over an events
-    table) that want the CDC merge semantics without manifests."""
+    table) that want the CDC merge semantics without manifests.  The
+    exchange is the same storage shuffle as the flagship lake merge
+    (stages/shuffle.storage_fold) — round 1 rode the sort-based
+    ``groupby("_part").map_groups`` here, which BASELINE.md measured as
+    CPU-count-invariant."""
     import functools
+
+    from .shuffle import storage_fold
 
     combined = ds.map_batches(
         Combiner(num_partitions), batch_format="pyarrow"
     )
     fm = functools.partial(final_merge, final_columns=final_columns)
-    return combined.groupby("_part").map_groups(fm, batch_format="pyarrow")
+    return storage_fold(combined, num_partitions, fm, label="merged")
 
 
 def final_merge(group: pa.Table, *, final_columns: list[str] | None) -> pa.Table:
@@ -216,11 +222,14 @@ def fieldwise_final_merge(
 
 def fieldwise_merged_dataset(ds, num_partitions: int, final_columns: list[str]):
     """Dataset plan for the field-wise merge: hash-partition by key (NO
-    combiner — see fieldwise_final_merge) then fold each partition."""
+    combiner — see fieldwise_final_merge) then fold each partition over
+    the storage shuffle (same exchange as ``merged_dataset``)."""
     import functools
+
+    from .shuffle import storage_fold
 
     part = ds.map_batches(
         lambda t: add_partition_column(t, num_partitions), batch_format="pyarrow"
     )
     fm = functools.partial(fieldwise_final_merge, final_columns=final_columns)
-    return part.groupby("_part").map_groups(fm, batch_format="pyarrow")
+    return storage_fold(part, num_partitions, fm, label="fieldwise")

@@ -41,7 +41,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.encoders import compile_template, to_string_go
+from ..functions.encoders import compile_template, template_fields, to_string_go
 from .merge import merged_dataset
 
 _FIELD_SEP = "\x00"  # internal (key, field) separator for the LWW merge
@@ -69,6 +69,9 @@ class RedisPlan:
         self.pk_columns = pk_columns
         self.render = (
             compile_template(cfg.key_formatter) if cfg.key_formatter else None
+        )
+        self.render_fields = (
+            template_fields(cfg.key_formatter) if cfg.key_formatter else []
         )
         # config validation at compile time (clear errors instead of
         # KeyErrors deep inside the merge)
@@ -104,8 +107,14 @@ class RedisPlan:
         formatter > fixed value > column > PK), prefix applied last."""
         cfg = self.cfg
         if self.render is not None:
+            # row-wise render is the reference contract, but only box the
+            # columns the template actually references — never the payload
             rows = batch.select(
-                [c for c in batch.column_names if not c.startswith("_")]
+                [
+                    c
+                    for c in self.render_fields
+                    if c in batch.column_names and not c.startswith("_")
+                ]
             ).to_pylist()
             key = pa.array([self.render(r) for r in rows], pa.string())
         elif cfg.key_value:
@@ -249,8 +258,10 @@ def list_state(
 
     Returns Dataset rows ``(redis_key, list_pos, value)``.  The fold is
     per-key sequential by necessity (list order is position-dependent),
-    so the plan shuffles by key and replays inside ``map_groups`` — keys
-    are independent, which is all the parallelism list semantics allow."""
+    so the plan hash-partitions by key over the storage shuffle
+    (stages/shuffle.storage_fold — same exchange as the lake merge) and
+    replays each partition's keys in one task — keys are independent,
+    which is all the parallelism list semantics allow."""
 
     def to_ops(t: pa.Table) -> pa.Table:
         key = plan.keys(t)
@@ -300,5 +311,10 @@ def list_state(
             }
         )
 
-    ops = ds.map_batches(to_ops, batch_format="pyarrow")
-    return ops.groupby("key").map_groups(fold, batch_format="pyarrow")
+    from .merge import add_partition_column
+    from .shuffle import storage_fold
+
+    ops = ds.map_batches(to_ops, batch_format="pyarrow").map_batches(
+        lambda t: add_partition_column(t, num_partitions), batch_format="pyarrow"
+    )
+    return storage_fold(ops, num_partitions, fold, label="redis-list")

@@ -110,3 +110,64 @@ def read_partition_deltas(shuffle_dir: str, part: int) -> "pa.Table | None":
 
 def cleanup(shuffle_dir: str) -> None:
     shutil.rmtree(shuffle_dir, ignore_errors=True)
+
+
+_FOLD_ROOT = "/tmp/gmt_shuffle"
+
+
+def storage_fold(ds, num_partitions: int, fold, *, label: str = "fold"):
+    """Generic Dataset → Dataset keyed fold over the storage shuffle.
+
+    ``ds`` must carry an int32 ``_part`` column (0..num_partitions-1);
+    ``fold(table) -> table`` consumes one whole co-located partition.
+    This is the shared exchange behind ``merged_dataset``,
+    ``fieldwise_merged_dataset``, the redis list fold and the as-of join
+    — all of which rode ``groupby("_part").map_groups`` in round 1, the
+    sort-based all-to-all whose wall time is CPU-count-invariant on this
+    box (BASELINE.md).  Same two stages as the lake merge
+    (pipelines/cdc.py), minus manifests:
+
+      stage A  DeltaWriter appends one delta Parquet per (task, part);
+      stage B  one independent task per NON-EMPTY partition reads its
+               deltas and applies ``fold``.
+
+    Partitions that received no rows are skipped by a driver-side
+    directory listing (cheap, local metadata), so every stage-B task
+    returns the fold's real schema — no empty-schema RefBundles.  The
+    folded result (the small converged state) is materialized so the
+    shuffle dir can be removed before returning."""
+    import ray.data
+
+    shuffle_dir = os.path.join(_FOLD_ROOT, f"{label}-{uuid.uuid4().hex[:12]}")
+    prepare_shuffle_dir(
+        shuffle_dir, num_partitions,
+        {"label": label, "num_partitions": num_partitions},
+    )
+    try:
+        ds.map_batches(
+            DeltaWriter(shuffle_dir), batch_format="pyarrow"
+        ).sum("_rows")
+        live = [
+            p for p in range(num_partitions) if partition_delta_files(shuffle_dir, p)
+        ]
+        if not live:
+            return ray.data.from_arrow(pa.table({}))
+
+        def run(batch: dict) -> pa.Table:
+            outs = []
+            for p in batch["id"]:
+                group = read_partition_deltas(shuffle_dir, int(p))
+                if group is not None and group.num_rows:
+                    outs.append(fold(group))
+            return pa.concat_tables(outs, promote_options="default")
+
+        out = (
+            ray.data.from_items(
+                [{"id": p} for p in live], override_num_blocks=len(live)
+            )
+            .map_batches(run, batch_size=None)
+            .materialize()
+        )
+        return out
+    finally:
+        cleanup(shuffle_dir)

@@ -251,6 +251,54 @@ def test_connected_components_matches_union_find(ray_session):
     assert got == want
 
 
+def test_minhash_dedup_many_small_blocks():
+    """Distribution sanity (round-1 verdict item 1): the same planted
+    near-dups are found when the corpus is split across MANY blocks —
+    candidate gen, join verify and CC all run distributed; nothing
+    depends on block boundaries."""
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "text": " ".join(f"mb{i}_{j}" for j in range(60))})
+    rows.append({"doc_id": 300, "text": rows[7]["text"]})
+    rows.append({"doc_id": 301, "text": rows[8]["text"].replace("mb8_3 ", "X ")})
+    ds = ray.data.from_items(rows, override_num_blocks=31)
+    out = datapipe.minhash_dedup(ds, threshold=0.6).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert len(out) == len(rows)
+    assert cl[300] == cl[7] == 7
+    assert cl[301] == cl[8] == 8
+    assert cl[9] == 9
+
+
+def test_pack_sequences_partition_invariant():
+    """Packing output is a pure function of the data: identical bins for
+    1 block and for many blocks (round-1 verdict item 8)."""
+    rows = [
+        {"doc_id": i, "text": " ".join("w" for _ in range(5 + (i * 7) % 40))}
+        for i in range(200)
+    ]
+    one = datapipe.pack_sequences(
+        ray.data.from_items(rows, override_num_blocks=1), capacity=64
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    many = datapipe.pack_sequences(
+        ray.data.from_items(rows, override_num_blocks=17), capacity=64
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert one.equals(many)
+
+
+def test_embedding_dedup_lsh_matches_planted(emb):
+    """Bucketed (LSH) embedding dedup finds the planted exact duplicate
+    (identical vectors collide in every table → recall 1 for them)."""
+    import pandas as pd
+
+    tab = emb.to_pandas().head(50)
+    dup = tab.iloc[[0]].assign(vec_id=999)
+    ds = ray.data.from_pandas(pd.concat([tab, dup], ignore_index=True))
+    out = datapipe.embedding_dedup(ds, threshold=0.999).to_pandas()
+    assert ((out["a"] == 0) & (out["b"] == 999)).any()
+    assert (out["cosine"] >= 0.999).all()
+
+
 def test_short_doc_shingles_batch_independent():
     """A short doc's shingle hash must not depend on the following doc
     in the batch (review regression)."""

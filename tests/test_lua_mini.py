@@ -1,0 +1,191 @@
+"""Mini-Lua interpreter semantics (functions/lua_mini.py) — checked
+against the Lua 5.1 manual behaviors rule scripts rely on."""
+
+import pytest
+
+from go_mysql_transfer_ray.functions.lua_mini import (
+    Interpreter,
+    LuaError,
+    LuaTable,
+    lua_tostring,
+    to_python,
+)
+
+
+def run(src, **globals_):
+    it = Interpreter(src, globals_=globals_)
+    it.run()
+    return it
+
+
+def test_arithmetic_and_number_formatting():
+    it = run(
+        """
+        a = 1 + 2 * 3
+        b = 2 ^ 10
+        c = 7 / 2
+        d = -17 % 5
+        e = 10 .. ""
+        f = tostring(2.5)
+        g = "3" + 4
+        """
+    )
+    assert it.global_get("a") == 7.0
+    assert it.global_get("b") == 1024.0
+    assert it.global_get("c") == 3.5
+    assert it.global_get("d") == 3.0  # Lua floored modulo
+    assert it.global_get("e") == "10"
+    assert it.global_get("f") == "2.5"
+    assert it.global_get("g") == 7.0  # string arithmetic coercion
+
+
+def test_control_flow():
+    it = run(
+        """
+        s = 0
+        for i = 1, 10 do s = s + i end
+        r = 0
+        for i = 10, 1, -2 do r = r + 1 end
+        w = 0
+        while w < 5 do w = w + 1 end
+        u = 0
+        repeat u = u + 3 until u > 7
+        brk = 0
+        for i = 1, 100 do brk = i if i == 4 then break end end
+        cond = nil
+        if s > 100 then cond = "big" elseif s == 55 then cond = "55" else cond = "no" end
+        """
+    )
+    assert it.global_get("s") == 55.0
+    assert it.global_get("r") == 5.0
+    assert it.global_get("w") == 5.0
+    assert it.global_get("u") == 9.0
+    assert it.global_get("brk") == 4.0
+    assert it.global_get("cond") == "55"
+
+
+def test_tables_and_iteration():
+    it = run(
+        """
+        t = {10, 20, 30, x = "a", ["y z"] = "b"}
+        n = #t
+        ipairs_sum = 0
+        for i, v in ipairs(t) do ipairs_sum = ipairs_sum + v end
+        keys = ""
+        for k, v in pairs(t) do keys = keys .. tostring(k) .. ";" end
+        t[4] = 40
+        n2 = #t
+        table.insert(t, 2, 15)
+        second = t[2]
+        removed = table.remove(t, 1)
+        """
+    )
+    assert it.global_get("n") == 3.0
+    assert it.global_get("ipairs_sum") == 60.0
+    # deterministic order: array part first, then hash insertion order
+    assert it.global_get("keys") == "1;2;3;x;y z;"
+    assert it.global_get("n2") == 4.0
+    assert it.global_get("second") == 15.0
+    assert it.global_get("removed") == 10.0
+
+
+def test_functions_closures_multiret():
+    it = run(
+        """
+        local function two() return 1, 2 end
+        a, b = two()
+        local acc = 0
+        local function counter()
+          acc = acc + 1
+          return acc
+        end
+        counter() counter()
+        c = counter()
+        local t = {}
+        function t.m(x) return x * 2 end
+        function t:meth(x) return self.base + x end
+        t.base = 100
+        d = t.m(21)
+        e = t:meth(5)
+        """
+    )
+    assert (it.global_get("a"), it.global_get("b")) == (1.0, 2.0)
+    assert it.global_get("c") == 3.0
+    assert it.global_get("d") == 42.0
+    assert it.global_get("e") == 105.0
+
+
+def test_string_library():
+    it = run(
+        """
+        a = string.len("héllo")
+        b = string.sub("hello world", 7)
+        c = string.upper("abc") .. string.lower("DEF")
+        d = string.format("%s=%d (%.2f) %x", "k", 42, 1.5, 255)
+        e = ("xy"):rep(2)
+        f = string.gsub("a1b22", "%d+", "#")
+        """
+    )
+    assert it.global_get("a") == 5.0
+    assert it.global_get("b") == "world"
+    assert it.global_get("c") == "ABCdef"
+    assert it.global_get("d") == "k=42 (1.50) ff"
+    assert it.global_get("e") == "xyxy"
+    assert it.global_get("f") == "a#b#"
+
+
+def test_truthiness_and_equality():
+    it = run(
+        """
+        a = nil and 1 or 2
+        b = false or "x"
+        c = (0 and "zero-is-truthy") or "no"
+        d = (1 == 1.0)
+        e = ("a" ~= "b")
+        f = not nil
+        """
+    )
+    assert it.global_get("a") == 2.0
+    assert it.global_get("b") == "x"
+    assert it.global_get("c") == "zero-is-truthy"  # 0 is truthy in Lua
+    assert it.global_get("d") is True
+    assert it.global_get("e") is True
+    assert it.global_get("f") is True
+
+
+def test_long_strings_and_comments():
+    it = run(
+        """
+        -- line comment
+        --[[ block
+             comment ]]
+        s = [[line1
+line2]]
+        """
+    )
+    assert it.global_get("s") == "line1\nline2"
+
+
+def test_host_interop_and_errors():
+    t = LuaTable.from_dict({"k": 1, "nested": {"a": [1, 2]}})
+    assert to_python(t) == {"k": 1, "nested": {"a": [1.0, 2.0]}} or to_python(t) == {
+        "k": 1,
+        "nested": {"a": [1, 2]},
+    }
+    assert lua_tostring(3.0) == "3"
+    assert lua_tostring(None) == "nil"
+    with pytest.raises(LuaError):
+        run("x = nil .. 'a'")
+    with pytest.raises(LuaError):
+        run("undefined_fn()")
+    with pytest.raises(LuaError):
+        run("error('boom')")
+
+
+def test_compile_once_rerun_isolated_locals():
+    it = Interpreter("local n = (n0 or 0) + 1\nn0 = n")
+    it.run()
+    it.run()
+    it.run()
+    # globals persist across runs (reference pools LStates without reset)
+    assert it.global_get("n0") == 3.0
