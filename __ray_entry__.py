@@ -804,12 +804,49 @@ def q_es6_bulk_ops(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_redis_list_state(sf_dir: str):
+    """K1 List structure: RPUSH replay in (gtid, seq) order per key —
+    the ordered fold (redis.go:239-252).  Driver query uses the
+    insert-only path (LREM removal is order-dependent state covered by
+    pytest); final list position is SQL row_number per user."""
+    from go_mysql_transfer_ray.stages.redis_state import (
+        RedisConfig, RedisPlan, list_state,
+    )
+
+    def all_inserts(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("op"),
+            "op",
+            pa.array(["insert"] * t.num_rows, pa.string()),
+        )
+
+    plan = RedisPlan(
+        RedisConfig(structure="list", key_prefix="log:", key_column="user_id"),
+        pk_columns=("user_id",),
+    )
+    ds = _events_as_changes(sf_dir).map_batches(all_inserts, batch_format="pyarrow")
+    out = list_state(ds, plan, value_col="event_type")
+
+    def widen(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("list_pos"),
+            "list_pos",
+            pc.cast(t.column("list_pos"), pa.int64()),
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 def q_dedup_clusters_distributed(sf_dir: str) -> "ray.data.Dataset":
     """Distributed connected components (large-star/small-star) over the
     planted-duplicate embedding pairs — the scale path replacing the
     driver union-find."""
     pairs = q_embedding_dedup(sf_dir)
-    return datapipe.connected_components(pairs.select_columns(["a", "b"]))
+    # small_graph_edges=0 forces the large-star/small-star rounds so the
+    # driver exercises the distributed path, not the single-task fast path
+    return datapipe.connected_components(
+        pairs.select_columns(["a", "b"]), small_graph_edges=0
+    )
 
 
 def q_message_envelopes(sf_dir: str):
@@ -817,6 +854,20 @@ def q_message_envelopes(sf_dir: str):
     events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
     return message_sink.message_stream(
         events_dir, RuleConfig(include_columns="repo,path,lang", reserve_raw_data=True)
+    )
+
+
+def q_message_envelopes_sql(sf_dir: str):
+    """K5 MQ envelope, SQL-checkable variant: no reserve_raw_data (the
+    ``raw`` update path is pytest-covered in test_rule_pipeline), so the
+    envelope is a pure function of the decoded change row — the oracle
+    rebuilds it string-for-string from the decoded-stream relation."""
+    cfg = _binlog_cfg(sf_dir)
+    events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
+    cdc.write_decoded_changes(events_dir, _CHANGES_ORACLE_PATH)
+    return message_sink.message_stream(
+        events_dir,
+        RuleConfig(include_columns="repo,path,lang", value_encoder="json"),
     )
 
 
@@ -866,7 +917,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redis_hash_state": q_redis_hash_state,
         "redis_zset_state": q_redis_zset_state,
         "redis_set_state": q_redis_set_state,
+        "redis_list_state": q_redis_list_state,
         "message_envelopes": q_message_envelopes,
+        "message_envelopes_sql": q_message_envelopes_sql,
         "media_features": q_media_features,
     }
 
@@ -1085,6 +1138,32 @@ def oracle_sql() -> dict[str, str]:
                    event_type AS value
             FROM events
         """,
+        "redis_list_state": """
+            SELECT 'log:' || CAST(user_id AS VARCHAR) AS redis_key,
+                   row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS list_pos,
+                   event_type AS value
+            FROM events
+        """,
+        # lang_id: same stopword families as functions/text.py STOPWORDS;
+        # argmax with FIRST-max tie-break in list order (en,de,fr,es),
+        # all-zero → 'und' — exactly numpy argmax's behavior
+        "lang_id": r"""
+            WITH c AS (
+                SELECT doc_id,
+                    array_length(regexp_extract_all(text, '(?i)\b(the|and|of|a|to|in|is|that|it|for)\b', 0)) AS en,
+                    array_length(regexp_extract_all(text, '(?i)\b(der|die|und|das|ist|von|nicht|mit|ein|zu)\b', 0)) AS de,
+                    array_length(regexp_extract_all(text, '(?i)\b(le|la|et|les|des|est|pas|que|une|pour)\b', 0)) AS fr,
+                    array_length(regexp_extract_all(text, '(?i)\b(el|la|de|que|y|los|es|una|por|con)\b', 0)) AS es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+                        WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                        WHEN de >= fr AND de >= es THEN 'de'
+                        WHEN fr >= es THEN 'fr'
+                        ELSE 'es' END AS pred_lang
+            FROM c
+        """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
         """,
@@ -1100,5 +1179,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "message_envelopes_sql": f"""
+            SELECT "key", op AS action,
+                   '{{"action":"' || op || '","timestamp":' ||
+                   CAST(CAST(epoch(ts) AS BIGINT) AS VARCHAR) ||
+                   ',"date":{{"lang":"' || lang || '","path":"' || path ||
+                   '","repo":"' || repo || '"}}}}' AS value
+            FROM read_parquet('{_CHANGES_ORACLE_PATH}/*.parquet')
         """,
     }

@@ -269,7 +269,7 @@ def candidate_pairs(
             )
         return pa.table(cols_out)
 
-    parts = _add_part(ds, bucket_cols, num_partitions)
+    parts = _add_part(ds, bucket_cols, _fold_partitions(num_partitions))
     out = parts.groupby("_part").map_groups(fold, batch_format="pyarrow")
     schema = {"a": pa.int64(), "b": pa.int64()}
     if carry_col is not None:
@@ -302,7 +302,7 @@ def distinct_pairs(pairs, *, num_partitions: int = 32,
             first[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
         return group.take(pa.array(order[first]))
 
-    parts = _add_part(pairs, ["a", "b"], num_partitions)
+    parts = _add_part(pairs, ["a", "b"], _fold_partitions(num_partitions))
     out = parts.groupby("_part").map_groups(fold, batch_format="pyarrow")
     return _ensure_schema(out, schema)
 
@@ -331,14 +331,10 @@ def _drop_empty_blocks(ds, schema: "dict[str, pa.DataType]"):
     return ray.data.from_arrow_refs(refs)
 
 
-def _join_partitions(requested: int) -> int:
-    """Join partition count bounded by cluster CPUs.
-
-    Ray's hash-shuffle join reserves aggregator resources proportional
-    to ``num_partitions``; asking for more partitions than the session
-    has CPUs deadlocks a multi-join plan (observed at 4 CPUs with 32
-    partitions).  The joins here move candidate-pair metadata, so CPU
-    count is plenty of parallelism."""
+def _fold_partitions(requested: int) -> int:
+    """Partition count for the metadata folds, bounded by cluster CPUs —
+    more output partitions than cores only adds task overhead at these
+    sizes (the fold input is sketch metadata, not the corpus)."""
     try:
         cpus = int(ray.cluster_resources().get("CPU", 4))
     except Exception:
@@ -349,27 +345,118 @@ def _join_partitions(requested: int) -> int:
 def _attach_payload(pairs, payload, *, key: str, id_col: str, payload_col: str,
                     out_col: str, num_partitions: int = 32,
                     pairs_schema: "dict[str, pa.DataType]"):
-    """Hash-shuffle join: attach ``payload_col`` of ``payload`` (keyed by
-    ``id_col``) to each pair row via its ``key`` column, renamed to
-    ``out_col``.  The scale-honest replacement for the round-1 driver-side
-    signature/set lookup.  The left side is compacted first — both
-    map_groups AND a previous join emit schema-less empty blocks that
-    crash the next Acero join."""
-    pairs = _drop_empty_blocks(pairs, pairs_schema)
-    joined = pairs.join(
-        payload.select_columns([id_col, payload_col]),
-        "inner",
-        _join_partitions(num_partitions),
-        on=(key,),
-        right_on=(id_col,),
+    """Reduce-side hash join: attach ``payload_col`` of ``payload``
+    (keyed by ``id_col``) to each pair row via its ``key`` column,
+    renamed to ``out_col`` — the scale-honest replacement for the
+    round-1 driver-side signature/set lookup.
+
+    Implemented as tag-union + one hash-co-partitioned fold (the classic
+    reduce-side join) rather than ``Dataset.join``: Acero's aggregator
+    actors cost several seconds of spawn per join leg at ANY input size
+    (measured 5-7 s for 25 pairs) and choke on the schema-less empty
+    blocks map_groups emits.  The exchange is identical — both sides
+    hash-partition on the join key — and the per-partition attach is a
+    vectorized sort + searchsorted."""
+    num_partitions = _fold_partitions(num_partitions)
+    pair_cols = list(pairs_schema)
+    ptype = payload.schema().base_schema.field(payload_col).type
+
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        cols = {
+            "_jk": pc.cast(t.column(key), pa.int64()),
+            "_tag": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "_pv": pa.nulls(t.num_rows, ptype),
+        }
+        for c in pair_cols:
+            cols[c] = t.column(c)
+        return pa.table(cols)
+
+    def tag_payload(t: pa.Table) -> pa.Table:
+        cols = {
+            "_jk": pc.cast(t.column(id_col), pa.int64()),
+            "_tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "_pv": t.column(payload_col),
+        }
+        for c in pair_cols:
+            cols[c] = pa.nulls(t.num_rows, pairs_schema[c])
+        return pa.table(cols)
+
+    tagged = pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        payload.map_batches(tag_payload, batch_format="pyarrow")
     )
 
-    def rename(t: pa.Table) -> pa.Table:
-        return t.rename_columns(
-            [out_col if c == payload_col else c for c in t.column_names]
-        )
+    def fold(group: pa.Table) -> pa.Table:
+        tag = group.column("_tag").to_numpy(zero_copy_only=False)
+        jk = group.column("_jk").to_numpy(zero_copy_only=False)
+        is_pay = tag == 1
+        pay_idx = np.flatnonzero(is_pay)
+        pr_idx = np.flatnonzero(~is_pay)
+        out_schema = dict(pairs_schema)
+        out_schema[out_col] = ptype
+        if len(pr_idx) == 0 or len(pay_idx) == 0:
+            return pa.table({c: pa.array([], t) for c, t in out_schema.items()})
+        pay_keys = jk[pay_idx]
+        order = np.argsort(pay_keys, kind="stable")
+        pay_keys = pay_keys[order]
+        pay_rows = pay_idx[order]
+        pos = np.searchsorted(pay_keys, jk[pr_idx])
+        pos_c = np.clip(pos, 0, len(pay_keys) - 1)
+        hit = pay_keys[pos_c] == jk[pr_idx]
+        pr_keep = pr_idx[hit]
+        src = pay_rows[pos_c[hit]]
+        pv = group.column("_pv")
+        if isinstance(pv, pa.ChunkedArray):
+            pv = pv.combine_chunks()
+        cols = {
+            c: group.column(c).take(pa.array(pr_keep)) for c in pair_cols
+        }
+        cols[out_col] = pv.take(pa.array(src))
+        return pa.table(cols)
 
-    return joined.map_batches(rename, batch_format="pyarrow")
+    parts = _add_part(tagged, ["_jk"], num_partitions)
+    out = parts.groupby("_part").map_groups(fold, batch_format="pyarrow")
+    out_schema = dict(pairs_schema)
+    out_schema[out_col] = ptype
+    return _ensure_schema(out, out_schema)
+
+
+# payload sides at or below this many bytes ride the object store as
+# broadcast block refs (the brief's broadcast-small-side pattern); bigger
+# sides take the reduce-side hash joins.  256 MB × a few readers is
+# nothing next to the object store, and every exchange saved is seconds
+# of wall time per pipeline.
+_BROADCAST_LIMIT_BYTES = 256 << 20
+
+
+def _payload_lookup(payload, id_col: str, payload_col: str):
+    """Broadcast lookup for a small payload side: block refs (data stays
+    in the object store — never pulled to the driver) + a per-task
+    builder returning (sorted_ids, list_of_values)."""
+    refs = payload.select_columns([id_col, payload_col]).to_arrow_refs()
+
+    def build():
+        tabs = [t for t in ray.get(refs) if t.num_rows]
+        ids = np.concatenate(
+            [t.column(id_col).to_numpy(zero_copy_only=False) for t in tabs]
+        ).astype(np.int64)
+        vals = []
+        for t in tabs:
+            col = t.column(payload_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals.append(col)
+        flat = pa.concat_arrays(vals)
+        order = np.argsort(ids, kind="stable")
+        return ids[order], flat.take(pa.array(order))
+
+    return build
+
+
+def _lookup_take(sorted_ids: np.ndarray, values, keys: np.ndarray):
+    """values.take at the positions of ``keys`` in ``sorted_ids``."""
+    pos = np.searchsorted(sorted_ids, keys)
+    pos = np.clip(pos, 0, len(sorted_ids) - 1)
+    return values.take(pa.array(pos))
 
 
 def cluster_labels(
@@ -513,32 +600,57 @@ def minhash_dedup(
         )
 
     banded = sigs.map_batches(explode_bands, batch_format="pyarrow")
-    pairs = distinct_pairs(
-        candidate_pairs(banded, ["band", "bucket"], id_col,
-                        num_partitions=num_partitions),
-        num_partitions=num_partitions,
-    )
-    pairs = _attach_payload(
-        pairs, sigs, key="a", id_col=id_col, payload_col="sig",
-        out_col="sig_a", num_partitions=num_partitions,
-        pairs_schema={"a": pa.int64(), "b": pa.int64()},
-    )
-    pairs = _attach_payload(
-        pairs, sigs, key="b", id_col=id_col, payload_col="sig",
-        out_col="sig_b", num_partitions=num_partitions,
-        pairs_schema={"a": pa.int64(), "b": pa.int64(), "sig_a": pa.binary()},
+    # cross-band duplicate pairs are NOT deduped before the verify — the
+    # verify is idempotent and connected_components tolerates duplicate
+    # edges, so skipping the distinct saves a whole exchange
+    pairs = candidate_pairs(
+        banded, ["band", "bucket"], id_col, num_partitions=num_partitions
     )
 
-    def verify(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        sa = _sig_matrix(t.column("sig_a"), num_perm)
-        sb = _sig_matrix(t.column("sig_b"), num_perm)
-        sim = sketch.minhash_similarity(sa, sb)
-        keep = pa.array(sim >= threshold)
-        return t.select(["a", "b"]).filter(keep)
+    if sigs.size_bytes() <= _BROADCAST_LIMIT_BYTES:
+        # broadcast-small-side verify: signature blocks stay in the
+        # object store; each task looks both sides up with searchsorted
+        build = _payload_lookup(sigs, id_col, "sig")
 
-    edges = pairs.map_batches(verify, batch_format="pyarrow")
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            ids_sorted, sig_vals = build()
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            sa = _sig_matrix(_lookup_take(ids_sorted, sig_vals, a), num_perm)
+            sb = _sig_matrix(_lookup_take(ids_sorted, sig_vals, b), num_perm)
+            keep = pa.array(sketch.minhash_similarity(sa, sb) >= threshold)
+            return t.select(["a", "b"]).filter(keep)
+
+        edges = pairs.map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        # big-side path: two reduce-side hash joins attach the signatures
+        pairs = _attach_payload(
+            pairs, sigs, key="a", id_col=id_col, payload_col="sig",
+            out_col="sig_a", num_partitions=num_partitions,
+            pairs_schema={"a": pa.int64(), "b": pa.int64()},
+        )
+        pairs = _attach_payload(
+            pairs, sigs, key="b", id_col=id_col, payload_col="sig",
+            out_col="sig_b", num_partitions=num_partitions,
+            pairs_schema={"a": pa.int64(), "b": pa.int64(), "sig_a": pa.binary()},
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            sa = _sig_matrix(t.column("sig_a"), num_perm)
+            sb = _sig_matrix(t.column("sig_b"), num_perm)
+            sim = sketch.minhash_similarity(sa, sb)
+            keep = pa.array(sim >= threshold)
+            return t.select(["a", "b"]).filter(keep)
+
+        edges = pairs.map_batches(verify, batch_format="pyarrow")
     return cluster_labels(
         edges, sigs, id_col, num_partitions=num_partitions
     )
@@ -601,10 +713,9 @@ def simhash_dedup(
         keep = pa.array(sketch.hamming64(ha, hb) <= max_hamming)
         return t.select(["a", "b"]).filter(keep)
 
-    edges = distinct_pairs(
-        pairs.map_batches(verify, batch_format="pyarrow"),
-        num_partitions=num_partitions,
-    )
+    # duplicate verified edges (one per shared block) are fine for the
+    # clustering stage — no distinct exchange needed
+    edges = pairs.map_batches(verify, batch_format="pyarrow")
     labeled = cluster_labels(
         edges, hashed, id_col,
         num_partitions=num_partitions, carry=("simhash", pa.int64()),
@@ -968,40 +1079,77 @@ def ngram_jaccard_dedup(
         return pa.table({"anchor": akey.flatten(), id_col: aid.flatten()})
 
     banded = sets_ds.map_batches(explode_anchors, batch_format="pyarrow")
-    pairs = distinct_pairs(
-        candidate_pairs(banded, ["anchor"], id_col,
-                        num_partitions=num_partitions),
-        num_partitions=num_partitions,
-    )
-    pairs = _attach_payload(
-        pairs, sets_ds, key="a", id_col=id_col, payload_col="ngrams",
-        out_col="ngrams_a", num_partitions=num_partitions,
-        pairs_schema={"a": pa.int64(), "b": pa.int64()},
-    )
-    pairs = _attach_payload(
-        pairs, sets_ds, key="b", id_col=id_col, payload_col="ngrams",
-        out_col="ngrams_b", num_partitions=num_partitions,
-        pairs_schema={"a": pa.int64(), "b": pa.int64(), "ngrams_a": pa.binary()},
+    # shared-anchor duplicates survive candidate gen (see minhash_dedup —
+    # verify is idempotent, CC tolerates duplicate edges); dedupe only
+    # WITHIN each pair batch to avoid re-verifying the same pair
+    pairs = candidate_pairs(
+        banded, ["anchor"], id_col, num_partitions=num_partitions
     )
 
-    def verify(t: pa.Table) -> pa.Table:
+    def _true_jaccard_keep(t, get_a, get_b):
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
         keep = np.zeros(t.num_rows, dtype=bool)
-        ga, gb = t.column("ngrams_a"), t.column("ngrams_b")
-        if isinstance(ga, pa.ChunkedArray):
-            ga = ga.combine_chunks()
-        if isinstance(gb, pa.ChunkedArray):
-            gb = gb.combine_chunks()
+        seen: set = set()
         # per-pair exact Jaccard: numpy intersect of the two sorted sets —
         # the loop is per candidate PAIR (rare), never per document
         for i in range(t.num_rows):
-            sa = np.frombuffer(ga[i].as_py(), dtype="<u8")
-            sb = np.frombuffer(gb[i].as_py(), dtype="<u8")
+            key = (int(a[i]), int(b[i]))
+            if key in seen:
+                continue
+            seen.add(key)
+            sa = np.frombuffer(get_a(i), dtype="<u8")
+            sb = np.frombuffer(get_b(i), dtype="<u8")
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
             keep[i] = bool(union) and inter / union >= threshold
         return t.select(["a", "b"]).filter(pa.array(keep))
 
-    edges = pairs.map_batches(verify, batch_format="pyarrow")
+    if sets_ds.size_bytes() <= _BROADCAST_LIMIT_BYTES:
+        build = _payload_lookup(sets_ds, id_col, "ngrams")
+
+        def verify_bcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            ids_sorted, vals = build()
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            va = _lookup_take(ids_sorted, vals, a)
+            vb = _lookup_take(ids_sorted, vals, b)
+            return _true_jaccard_keep(
+                t, lambda i: va[i].as_py(), lambda i: vb[i].as_py()
+            )
+
+        edges = pairs.map_batches(verify_bcast, batch_format="pyarrow")
+    else:
+        pairs = _attach_payload(
+            pairs, sets_ds, key="a", id_col=id_col, payload_col="ngrams",
+            out_col="ngrams_a", num_partitions=num_partitions,
+            pairs_schema={"a": pa.int64(), "b": pa.int64()},
+        )
+        pairs = _attach_payload(
+            pairs, sets_ds, key="b", id_col=id_col, payload_col="ngrams",
+            out_col="ngrams_b", num_partitions=num_partitions,
+            pairs_schema={"a": pa.int64(), "b": pa.int64(), "ngrams_a": pa.binary()},
+        )
+
+        def verify(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                )
+            ga, gb = t.column("ngrams_a"), t.column("ngrams_b")
+            if isinstance(ga, pa.ChunkedArray):
+                ga = ga.combine_chunks()
+            if isinstance(gb, pa.ChunkedArray):
+                gb = gb.combine_chunks()
+            return _true_jaccard_keep(
+                t, lambda i: ga[i].as_py(), lambda i: gb[i].as_py()
+            )
+
+        edges = pairs.map_batches(verify, batch_format="pyarrow")
     return cluster_labels(edges, sets_ds, id_col, num_partitions=num_partitions)
 
 
@@ -1179,18 +1327,52 @@ def pack_sequences(
 # distributed connected components
 
 
+def _cc_single_task(edges_table: pa.Table) -> pa.Table:
+    """Vectorized label propagation over one in-memory edge table —
+    executed INSIDE a Ray task (never on the driver) for graphs below
+    the distributed-rounds threshold."""
+    a = edges_table.column("a").to_numpy(zero_copy_only=False)
+    b = edges_table.column("b").to_numpy(zero_copy_only=False)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        # pointer-jumping label propagation: each edge pulls both ends
+        # to the smaller label, then labels compress
+        la, lb = label[ia], label[ib]
+        m = np.minimum(la, lb)
+        changed_label = label.copy()
+        np.minimum.at(changed_label, ia, m)
+        np.minimum.at(changed_label, ib, m)
+        changed_label = changed_label[changed_label]  # compress one hop
+        if np.array_equal(changed_label, label):
+            break
+        label = changed_label
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes),
+            "cluster_id": pa.array(nodes[label]),
+        }
+    )
+
+
 def connected_components(
     pairs: "ray.data.Dataset",
     max_iterations: int = 20,
     num_partitions: int = 32,
+    small_graph_edges: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Distributed connected components over an undirected edge list —
-    the scale path behind every near-dup clusterer (round 1 wired it to
-    none of them; now it IS their clustering stage).
+    the clustering stage behind every near-dup operator.
 
-    Alternating large-star / small-star transformations (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14).  All three
-    per-round exchanges are hash-partition + vectorized fold:
+    Adaptive execution: an edge set below ``small_graph_edges`` (a few
+    tens of MB — near-dup edge sets are sparse by construction) is
+    labeled by ONE vectorized Ray task (``_cc_single_task`` — still off
+    the driver); larger graphs run the alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14).  Pass ``small_graph_edges=0`` to
+    force the rounds (tests and the driver query do).  All per-round
+    exchanges are hash-partition + vectorized fold:
 
     * the star steps segment nodes with ``np.lexsort`` + ``reduceat``
       (round 1 ran one Python callback per NODE via
@@ -1283,7 +1465,13 @@ def connected_components(
         agg = ds.map_batches(h, batch_format="pyarrow")
         return (agg.sum("h"), agg.count())
 
+    num_partitions = _fold_partitions(num_partitions)
     edges = pairs.map_batches(canon, batch_format="pyarrow").materialize()
+    if edges.count() <= small_graph_edges:
+        return (
+            edges.repartition(1)
+            .map_batches(_cc_single_task, batch_size=None, batch_format="pyarrow")
+        )
     prev = None
     for _ in range(max_iterations):
         ls = star_round(edges, large_star)

@@ -220,7 +220,10 @@ def test_pack_sequences_invariants(docs):
             expect += r.n_tokens
 
 
-def test_connected_components_matches_union_find(ray_session):
+@pytest.mark.parametrize("small_graph_edges", [0, 2_000_000])
+def test_connected_components_matches_union_find(ray_session, small_graph_edges):
+    """small_graph_edges=0 forces the distributed star rounds; the default
+    takes the single-task vectorized path — both must match union-find."""
     rng = np.random.RandomState(3)
     # several random components: chain/star/cycle + singletons via id space
     edges = []
@@ -241,7 +244,9 @@ def test_connected_components_matches_union_find(ray_session):
             "b": pa.array([e[1] for e in edges], pa.int64()),
         }
     )
-    out = datapipe.connected_components(ray.data.from_arrow(t)).to_pandas()
+    out = datapipe.connected_components(
+        ray.data.from_arrow(t), small_graph_edges=small_graph_edges
+    ).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
 
     # reference: driver union-find
