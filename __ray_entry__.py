@@ -781,6 +781,48 @@ def q_lua_redis_rule(sf_dir: str):
     return out.select_columns(["redis_key", "value"])
 
 
+_LUA_DBOPS_RULE = """
+local db = require("dbOps")
+local ops = require("redisOps")
+local row = ops.rawRow()
+local dim = db.selectOne("select n_name from nation where n_nationkey = ?", row["user_id"] % 25)
+if dim then
+  ops.SET("u:" .. row["user_id"], dim["n_name"])
+end
+"""
+
+
+def q_lua_dbops_enrich(sf_dir: str):
+    """T4 through the Lua surface: dbOps.selectOne lookup join executed
+    inside a rule script (/root/reference/service/luaengine/
+    db_actuator.go:39-124) — the dimension is a broadcast dict held by
+    the script actor, never a per-row RPC.  Every event SETs its user's
+    nation; LWW leaves one row per user."""
+    from go_mysql_transfer_ray.pipelines.lua_rules import lua_redis_state
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    lookup = {
+        float(k): {"n_name": v}
+        for k, v in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_name").to_pylist(),
+        )
+    }
+
+    def all_inserts(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("op"),
+            "op",
+            pa.array(["insert"] * t.num_rows, pa.string()),
+        )
+
+    ds = _events_as_changes(sf_dir).map_batches(all_inserts, batch_format="pyarrow")
+    out = lua_redis_state(
+        ds, _LUA_DBOPS_RULE, payload_cols=("user_id",), lookup=lookup
+    )
+    return out.select_columns(["redis_key", "value"])
+
+
 def q_es6_bulk_ops(sf_dir: str):
     """K4 ES6 variant: bulk ops carry ``_type`` on every operation
     (/root/reference/service/endpoint/elastic6.go:191-246), index
@@ -912,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "lua_redis_rule": q_lua_redis_rule,
+        "lua_dbops_enrich": q_lua_dbops_enrich,
         "es6_bulk_ops": q_es6_bulk_ops,
         "redis_string_state": q_redis_string_state,
         "redis_hash_state": q_redis_hash_state,
@@ -1096,6 +1139,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'evt:' || CAST(user_id AS VARCHAR) AS redis_key,
                    event_type AS value
             FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "lua_dbops_enrich": """
+            SELECT DISTINCT 'u:' || CAST(e.user_id AS VARCHAR) AS redis_key,
+                   n.n_name AS value
+            FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         """,
         "es6_bulk_ops": """
             SELECT 'customer' AS es_index, '_doc' AS es_type,

@@ -95,6 +95,83 @@ class EnvelopeBuilder:
         )
 
 
+class MessageDeliverer:
+    """Actor-pool delivery stage with the reference MQ sinks' infra
+    semantics, against an injectable transport (no broker in this
+    environment):
+
+    * declare-on-demand queue cache — a queue is declared at most once
+      per actor, before its first publish
+      (/root/reference/service/endpoint/rabbit.go:77-105);
+    * bounded send retry — a failed batch send is retried up to
+      ``retries`` more times before the error propagates
+      (/root/reference/service/endpoint/rocket.go:42,49-142: retry=2,
+      async batch + wait).
+
+    ``transport`` must provide ``declare(queue)`` and
+    ``send(queue, list_of_payloads)`` (raising on failure).  Emits one
+    metrics row per batch: (queue, sent, attempts)."""
+
+    def __init__(self, transport_factory, *, retries: int = 2,
+                 queue_for=None):
+        self.transport = transport_factory()
+        self.retries = retries
+        self.queue_for = queue_for or (lambda key: "repos")
+        self.declared: set[str] = set()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        values = batch.column("value").to_pylist()
+        by_queue: dict[str, list] = {}
+        for k, v in zip(keys, values):
+            by_queue.setdefault(self.queue_for(k), []).append(v)
+        out_q, out_sent, out_attempts = [], [], []
+        for queue, msgs in by_queue.items():
+            if queue not in self.declared:
+                self.transport.declare(queue)
+                self.declared.add(queue)
+            attempts = 0
+            while True:
+                attempts += 1
+                try:
+                    self.transport.send(queue, msgs)
+                    break
+                except Exception:
+                    if attempts > self.retries:
+                        raise
+            out_q.append(queue)
+            out_sent.append(len(msgs))
+            out_attempts.append(attempts)
+        return pa.table(
+            {
+                "queue": pa.array(out_q, pa.string()),
+                "sent": pa.array(out_sent, pa.int64()),
+                "attempts": pa.array(out_attempts, pa.int64()),
+            }
+        )
+
+
+def deliver_stream(
+    messages: "ray.data.Dataset",
+    transport_factory,
+    *,
+    retries: int = 2,
+    queue_for=None,
+    concurrency: "int | tuple[int, int]" = (1, 2),
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Deliver an envelope stream through MessageDeliverer actors; returns
+    the per-batch delivery metrics dataset (queue, sent, attempts)."""
+    return messages.map_batches(
+        MessageDeliverer,
+        fn_constructor_args=(transport_factory,),
+        fn_constructor_kwargs={"retries": retries, "queue_for": queue_for},
+        concurrency=concurrency,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
 def message_stream(
     events_dir: str,
     rule_config: RuleConfig | None = None,
