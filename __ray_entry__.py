@@ -571,6 +571,22 @@ def q_dedup_exact(sf_dir: str):
     return datapipe.exact_dedup(_docs(sf_dir)).select_columns(["doc_id"])
 
 
+def q_redact_text(sf_dir: str):
+    """PII-style scrubbing: vectorized RE2 replacements (email + long
+    digit runs) — value-checked against DuckDB regexp_replace."""
+    return datapipe.redact_text(_docs(sf_dir)).select_columns(["doc_id", "text"])
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-stratum down-sampling (training-data mixing):
+    id-hash permille against a per-lang rate table."""
+    return datapipe.stratified_sample(
+        _docs(sf_dir),
+        rates_permille={"en": 500, "de": 250},
+        default_permille=100,
+    ).select_columns(["doc_id", "lang"])
+
+
 def q_group_lang_stats(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -823,6 +839,93 @@ def q_lua_dbops_enrich(sf_dir: str):
     return out.select_columns(["redis_key", "value"])
 
 
+_LUA_MONGO_RULE = """
+local mongo = require("mongodbOps")
+local row = mongo.rawRow()
+local act = mongo.rawAction()
+if act == "insert" then
+  mongo.INSERT("users", {_id = row["user_id"], user_id = row["user_id"],
+                         event_type = row["event_type"], value = row["value"]})
+elseif act == "delete" then
+  mongo.DELETE("users", row["user_id"])
+else
+  mongo.UPSERT("users", row["user_id"], {user_id = row["user_id"], value = row["value"]})
+end
+"""
+
+
+def q_lua_mongo_upsert(sf_dir: str):
+    """K2 via the Lua surface: INSERT replaces the doc, UPSERT $set-creates
+    (SetUpsert(true), /root/reference/service/luaengine/mongo_actuator.go:
+    77-91 → mongo.go:141-149), DELETE removes — the field-wise merge with
+    upsert liveness.  purchase=INSERT (full doc), error=DELETE, everything
+    else UPSERT carrying only (user_id, value)."""
+    from go_mysql_transfer_ray.pipelines.lua_rules import lua_mongo_state
+
+    def to_ops(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        op = pc.if_else(
+            pc.equal(et, "purchase"), pa.scalar("insert"),
+            pc.if_else(pc.equal(et, "error"), pa.scalar("delete"), pa.scalar("update")),
+        )
+        return pa.table(
+            {
+                "gtid": t.column("event_id"),
+                "seq_in_txn": pa.array(np.zeros(t.num_rows, dtype=np.int32)),
+                "op": op,
+                "user_id": t.column("user_id"),
+                "event_type": et,
+                "value": t.column("value"),
+            }
+        )
+
+    ds = (
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "event_type", "value"],
+        )
+        .map_batches(to_ops, batch_format="pyarrow")
+    )
+    return lua_mongo_state(
+        ds,
+        _LUA_MONGO_RULE,
+        payload_cols=("user_id", "event_type", "value"),
+        doc_cols=("user_id", "event_type", "value"),
+    )
+
+
+_LUA_ES_RULE = """
+local es = require("esOps")
+local row = es.rawRow()
+es.INSERT("events", row["event_id"], {user_id = row["user_id"], event_type = row["event_type"]})
+"""
+
+
+def q_lua_es_ops(sf_dir: str):
+    """K3/K4 via the Lua surface: per-row ES bulk ops emitted by a script
+    (es_actuator.go:45-140), body = Go json.Marshal of the Lua table
+    (sorted keys), ES6 ``_type`` on every op."""
+    from go_mysql_transfer_ray.pipelines.lua_rules import lua_es_ops
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "op": pa.array(["insert"] * t.num_rows, pa.string()),
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type"],
+    ).map_batches(prep, batch_format="pyarrow")
+    return lua_es_ops(
+        ds, _LUA_ES_RULE, payload_cols=("event_id", "user_id", "event_type")
+    )
+
+
 def q_es6_bulk_ops(sf_dir: str):
     """K4 ES6 variant: bulk ops carry ``_type`` on every operation
     (/root/reference/service/endpoint/elastic6.go:191-246), index
@@ -943,6 +1046,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "pack_sequences": q_pack_sequences,
         "group_lang_stats": q_group_lang_stats,
+        "redact_text": q_redact_text,
+        "stratified_sample": q_stratified_sample,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "minhash_dedup": q_minhash_dedup,
@@ -955,6 +1060,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "lua_redis_rule": q_lua_redis_rule,
         "lua_dbops_enrich": q_lua_dbops_enrich,
+        "lua_mongo_upsert": q_lua_mongo_upsert,
+        "lua_es_ops": q_lua_es_ops,
         "es6_bulk_ops": q_es6_bulk_ops,
         "redis_string_state": q_redis_string_state,
         "redis_hash_state": q_redis_hash_state,
@@ -1145,6 +1252,43 @@ def oracle_sql() -> dict[str, str]:
                    n.n_name AS value
             FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         """,
+        "lua_mongo_upsert": """
+            WITH base AS (
+                SELECT user_id, event_id, event_type, value,
+                       CASE WHEN event_type = 'error' THEN 'delete'
+                            WHEN event_type = 'purchase' THEN 'insert'
+                            ELSE 'upsert' END AS op
+                FROM events
+            ),
+            ld AS (SELECT user_id, max(event_id) AS d FROM base WHERE op = 'delete' GROUP BY user_id),
+            li AS (SELECT user_id, max(event_id) AS i FROM base WHERE op = 'insert' GROUP BY user_id),
+            fca AS (
+                SELECT b.user_id, min(b.event_id) AS c
+                FROM base b LEFT JOIN ld ON b.user_id = ld.user_id
+                WHERE b.op IN ('insert', 'upsert') AND b.event_id > COALESCE(ld.d, -1)
+                GROUP BY b.user_id
+            ),
+            alive AS (
+                SELECT f.user_id, GREATEST(COALESCE(li.i, -1), f.c) AS b0,
+                       CASE WHEN li.i IS NOT NULL AND li.i >= f.c THEN 'purchase' END AS event_type
+                FROM fca f LEFT JOIN li ON f.user_id = li.user_id
+            ),
+            lastv AS (
+                SELECT b.user_id, b.value,
+                       row_number() OVER (PARTITION BY b.user_id ORDER BY b.event_id DESC) AS rn
+                FROM base b JOIN alive a
+                  ON b.user_id = a.user_id AND b.event_id >= a.b0 AND b.op <> 'delete'
+            )
+            SELECT a.user_id, a.event_type, v.value
+            FROM alive a JOIN lastv v ON v.user_id = a.user_id AND v.rn = 1
+        """,
+        "lua_es_ops": """
+            SELECT 'events' AS es_index, '_doc' AS es_type,
+                   CAST(event_id AS VARCHAR) AS id, 'insert' AS action,
+                   '{"event_type":"' || event_type || '","user_id":' ||
+                   CAST(user_id AS VARCHAR) || '}' AS body
+            FROM events
+        """,
         "es6_bulk_ops": """
             SELECT 'customer' AS es_index, '_doc' AS es_type,
                    CAST(c_custkey AS VARCHAR) AS id, 'insert' AS action,
@@ -1227,6 +1371,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_docs,
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
+        """,
+        "redact_text": r"""
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\b[0-9][0-9 ()+.-]{7,}[0-9]\b', '<PHONE>', 'g') AS text
+            FROM documents
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 1000 <
+                  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 ELSE 100 END
         """,
         "message_envelopes_sql": f"""
             SELECT "key", op AS action,

@@ -1247,6 +1247,63 @@ def train_test_split(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+REDACT_PATTERNS = (
+    # (regex, replacement) — email-ish and long-digit-run (phone/account)
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9][0-9 ()+.-]{7,}[0-9]\b", "<PHONE>"),
+)
+
+
+def redact_text(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    patterns: "tuple[tuple[str, str], ...]" = REDACT_PATTERNS,
+) -> "ray.data.Dataset":
+    """PII-style scrubbing: sequential regex replacements over the text
+    column — pure ``pyarrow.compute.replace_substring_regex`` kernels
+    (RE2), no Python per row.  Patterns apply in order, each over the
+    previous result (so a redacted token is never re-matched by a later
+    pattern's digits/letters)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        for pat, repl in patterns:
+            col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+        return t.set_column(
+            t.schema.get_field_index(text_col), text_col, col
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    rates_permille: "dict[str, int]",
+    default_permille: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic per-stratum sampling: keep a row iff the Knuth
+    multiplicative hash of its id falls under its stratum's permille
+    rate — a pure function of (id, stratum), reproducible across runs
+    and partitionings (and statable in SQL for the driver oracle).
+    The canonical down-sampling step of a training-data mix."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (
+            (ids * np.uint64(2654435761)) % np.uint64(4294967296)
+        ) % np.uint64(1000)
+        strata = t.column(stratum_col).to_numpy(zero_copy_only=False)
+        limits = np.full(len(ids), default_permille, dtype=np.int64)
+        for s, rate in rates_permille.items():
+            limits[strata == s] = rate
+        return t.filter(pa.array(bucket.astype(np.int64) < limits))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def pack_sequences(
     ds: "ray.data.Dataset",
     text_col: str = "text",

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..functions.encoders import to_string_go
 from ..functions.lua_shim import LuaScriptRunner
-from ..stages.merge import merged_dataset
+from ..stages.merge import fieldwise_merged_dataset, merged_dataset
 
 _SEP = "\x00"
 _STRUCT_RANK = {"string": 1, "hash": 2, "list": 3, "set": 4, "sortedset": 5}
@@ -88,6 +88,133 @@ class LuaRedisActor:
                 "score": pa.array(scores, pa.float64()),
             }
         )
+
+
+class LuaMongoActor:
+    """Actor-pool stage: change rows → Lua script → mongo op rows.
+
+    Decoded ``MongoOp``s (INSERT/UPDATE/UPSERT/DELETE,
+    /root/reference/service/luaengine/mongo_actuator.go:46-116) become
+    field-wise merge rows keyed ``collection\\x00id``; document fields
+    named in ``doc_cols`` are lifted from ``op.table`` (absent → null =
+    "not set", the $set contract)."""
+
+    def __init__(self, script: str, payload_cols: "tuple[str, ...]",
+                 doc_cols: "tuple[str, ...]",
+                 order_cols: "tuple[str, str]" = ("gtid", "seq_in_txn"),
+                 lookup: "dict | None" = None):
+        self.runner = LuaScriptRunner(script, lookup=lookup)
+        self.payload_cols = payload_cols
+        self.doc_cols = doc_cols
+        self.order_cols = order_cols
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        gtid = t.column(self.order_cols[0]).to_numpy(zero_copy_only=False)
+        seq = t.column(self.order_cols[1]).to_numpy(zero_copy_only=False)
+        op_col = t.column("op").to_pylist()
+        payload = t.select(list(self.payload_cols)).to_pylist()
+        keys, gtids, seqs, ops = [], [], [], []
+        docs: dict[str, list] = {c: [] for c in self.doc_cols}
+        for i, row in enumerate(payload):
+            decoded = self.runner.execute(row, None, op_col[i])["mongo"]
+            for j, op in enumerate(decoded):
+                keys.append(f"{op.collection}{_SEP}{to_string_go(op.id)}")
+                gtids.append(int(gtid[i]))
+                seqs.append(int(seq[i]) * 16 + j)
+                ops.append(op.action)
+                table = op.table or {}
+                for c in self.doc_cols:
+                    docs[c].append(table.get(c))
+        cols = {
+            "key": pa.array(keys, pa.string()),
+            "gtid": pa.array(np.asarray(gtids, dtype=np.int64)),
+            "seq_in_txn": pa.array(np.asarray(seqs, dtype=np.int32)),
+            "op": pa.array(ops, pa.string()),
+        }
+        for c in self.doc_cols:
+            cols[c] = pa.array(docs[c])
+        return pa.table(cols)
+
+
+def lua_mongo_state(
+    ds,
+    script: str,
+    *,
+    payload_cols: "tuple[str, ...]",
+    doc_cols: "tuple[str, ...]",
+    order_cols: "tuple[str, str]" = ("gtid", "seq_in_txn"),
+    lookup: "dict | None" = None,
+    num_partitions: int = 16,
+    concurrency: "int | tuple[int, int]" = (1, 4),
+):
+    """Converged Mongo collection state produced by a Lua rule script:
+    the field-wise $set merge with the Lua UPSERT path enabled
+    (mongo_actuator.go:77-91 → SetUpsert(true), mongo.go:141-149)."""
+    ops = ds.map_batches(
+        LuaMongoActor,
+        fn_constructor_args=(
+            script, tuple(payload_cols), tuple(doc_cols), tuple(order_cols), lookup,
+        ),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+    return fieldwise_merged_dataset(
+        ops, num_partitions, final_columns=list(doc_cols), upsert=True
+    )
+
+
+class LuaEsActor:
+    """Stateless-per-batch Lua ES stage: each change row's script run
+    yields ES bulk ops (es_actuator.go:45-140) — emitted 1:1, no merge
+    (the ES sink applies bulk ops in order; the converged-index view is
+    the same fieldwise merge users get from lua_mongo_state)."""
+
+    def __init__(self, script: str, payload_cols: "tuple[str, ...]",
+                 es_type: str = "_doc",
+                 lookup: "dict | None" = None):
+        self.runner = LuaScriptRunner(script, lookup=lookup)
+        self.payload_cols = payload_cols
+        self.es_type = es_type
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        op_col = t.column("op").to_pylist()
+        payload = t.select(list(self.payload_cols)).to_pylist()
+        idxs, ids, actions, bodies = [], [], [], []
+        for i, row in enumerate(payload):
+            for op in self.runner.execute(row, None, op_col[i])["es"]:
+                idxs.append(op.index)
+                ids.append(op.id)
+                actions.append(op.action)
+                bodies.append(op.date)
+        n = len(idxs)
+        return pa.table(
+            {
+                "es_index": pa.array(idxs, pa.string()),
+                "es_type": pa.array([self.es_type] * n, pa.string()),
+                "id": pa.array(ids, pa.string()),
+                "action": pa.array(actions, pa.string()),
+                "body": pa.array(bodies, pa.string()),
+            }
+        )
+
+
+def lua_es_ops(
+    ds,
+    script: str,
+    *,
+    payload_cols: "tuple[str, ...]",
+    es_type: str = "_doc",
+    lookup: "dict | None" = None,
+    concurrency: "int | tuple[int, int]" = (1, 4),
+):
+    """ES bulk-op stream produced by a Lua rule script (with the ES6
+    ``_type`` carried on every op, elastic6.go:211)."""
+    return ds.map_batches(
+        LuaEsActor,
+        fn_constructor_args=(script, tuple(payload_cols), es_type, lookup),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
 
 
 def lua_redis_state(

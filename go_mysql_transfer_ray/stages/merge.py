@@ -159,7 +159,7 @@ def _segment_last(values: np.ndarray, seg_start: np.ndarray) -> np.ndarray:
 
 
 def fieldwise_final_merge(
-    group: pa.Table, *, final_columns: list[str]
+    group: pa.Table, *, final_columns: list[str], upsert: bool = False
 ) -> pa.Table:
     """Per-key ordered fold with PARTIAL updates, fully vectorized.
 
@@ -170,12 +170,18 @@ def fieldwise_final_merge(
     a no-op (no upsert outside the Lua path).  Null fields in an update
     row mean "not set".
 
+    ``upsert=True`` additionally honors op='upsert' — the Lua path's
+    ``UpdateOne(..., SetUpsert(true))``
+    (/root/reference/service/luaengine/mongo_actuator.go:77-91,
+    mongo.go:141-149): creates the document when absent (its fields
+    become the whole doc), behaves like a $set update when alive.  The
+    document baseline (the point field resolution starts from) is
+    therefore max(last insert, first create after the last delete) —
+    an insert RESETS the doc, an upsert never does.
+
     Unlike the full-image LWW merge, this fold is NOT block-prereducible
     (dropping an intermediate update would lose a field), so the plan
     partitions WITHOUT the combiner and folds whole partitions here.
-    Column value resolution per key: the last non-null occurrence at or
-    after the key's last insert; key alive iff last insert outlives the
-    last delete.
     """
     n = group.num_rows
     if n == 0:
@@ -201,10 +207,22 @@ def fieldwise_final_merge(
     is_del = op == "delete"
     li = _segment_last(np.where(is_ins, idx, -1), seg_start)
     ld = _segment_last(np.where(is_del, idx, -1), seg_start)
-    alive = (li >= 0) & (li > ld)
+    if upsert:
+        is_ups = op == "upsert"
+        creates = is_ins | is_ups
+        INF = np.int64(np.iinfo(np.int64).max)
+        # first create strictly after the key's last delete
+        cand = np.where(creates & (idx > ld[seg_id]), idx, INF)
+        fca = np.minimum.reduceat(cand, seg_start)
+        alive = fca != INF
+        li = np.maximum(li, np.where(alive, fca, -1))
+        setter_extra = is_ups
+    else:
+        alive = (li >= 0) & (li > ld)
+        setter_extra = np.zeros(n, dtype=bool)
 
     out_cols: dict[str, pa.Array] = {}
-    setter = is_ins | (op == "update")
+    setter = is_ins | (op == "update") | setter_extra
     for c in final_columns:
         col = t.column(c)
         if isinstance(col, pa.ChunkedArray):
@@ -220,7 +238,8 @@ def fieldwise_final_merge(
     return pa.table(out_cols)
 
 
-def fieldwise_merged_dataset(ds, num_partitions: int, final_columns: list[str]):
+def fieldwise_merged_dataset(ds, num_partitions: int, final_columns: list[str],
+                             *, upsert: bool = False):
     """Dataset plan for the field-wise merge: hash-partition by key (NO
     combiner — see fieldwise_final_merge) then fold each partition over
     the storage shuffle (same exchange as ``merged_dataset``)."""
@@ -231,5 +250,7 @@ def fieldwise_merged_dataset(ds, num_partitions: int, final_columns: list[str]):
     part = ds.map_batches(
         lambda t: add_partition_column(t, num_partitions), batch_format="pyarrow"
     )
-    fm = functools.partial(fieldwise_final_merge, final_columns=final_columns)
+    fm = functools.partial(
+        fieldwise_final_merge, final_columns=final_columns, upsert=upsert
+    )
     return storage_fold(part, num_partitions, fm, label="fieldwise")

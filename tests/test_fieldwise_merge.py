@@ -71,3 +71,54 @@ def test_dataset_plan(ray_session):
     assert len(out) == 50
     got = dict(zip(out["key"], zip(out["a"], out["b"])))
     assert got["k7"] == ("a7", "B7")
+
+
+# --- upsert liveness (the Lua SetUpsert(true) path, mongo.go:141-149) ---
+
+
+def test_upsert_creates_when_absent():
+    t = _t([(1, "upsert", "k", "a1", None)])
+    out = fieldwise_final_merge(t, final_columns=["a", "b"], upsert=True).to_pydict()
+    assert out == {"a": ["a1"], "b": [None]}
+
+
+def test_upsert_is_set_update_when_alive():
+    t = _t(
+        [
+            (1, "insert", "k", "a1", "b1"),
+            (2, "upsert", "k", "a2", None),  # $set: b survives
+        ]
+    )
+    out = fieldwise_final_merge(t, final_columns=["a", "b"], upsert=True).to_pydict()
+    assert out == {"a": ["a2"], "b": ["b1"]}
+
+
+def test_upsert_after_delete_recreates_partial():
+    t = _t(
+        [
+            (1, "insert", "k", "a1", "b1"),
+            (2, "delete", "k", None, None),
+            (3, "upsert", "k", "a3", None),  # fresh doc: b must NOT resurrect
+        ]
+    )
+    out = fieldwise_final_merge(t, final_columns=["a", "b"], upsert=True).to_pydict()
+    assert out == {"a": ["a3"], "b": [None]}
+
+
+def test_insert_still_resets_after_upserts():
+    t = _t(
+        [
+            (1, "upsert", "k", "a1", "b1"),
+            (2, "insert", "k", "a2", None),  # full replace: b wiped
+        ]
+    )
+    out = fieldwise_final_merge(t, final_columns=["a", "b"], upsert=True).to_pydict()
+    assert out == {"a": ["a2"], "b": [None]}
+
+
+def test_upsert_flag_off_ignores_upsert_liveness():
+    # without the flag, 'upsert' is not a recognized setter/create:
+    # an upsert-only key stays dead (backward-compatible strictness)
+    t = _t([(1, "upsert", "k", "a1", None)])
+    out = fieldwise_final_merge(t, final_columns=["a", "b"]).to_pydict()
+    assert out == {"a": [], "b": []}

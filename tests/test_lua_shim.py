@@ -184,3 +184,26 @@ def test_lua_runner_dbops_lookup():
     assert out[0].val == "PERU"
     out2 = r.execute({"id": 8, "nk": 99}, None, "insert")["redis"]
     assert out2 == []
+
+
+def test_lua_runner_httpops_stub():
+    """httpOps from inside a script against the injectable transport
+    (http_actuator.go:33-156 — no network in this environment)."""
+    def transport(method, url, data):
+        assert method == "GET"
+        return {"status_code": 200, "body": '{"rank":5}'}
+
+    script = """
+    local http = require("httpOps")
+    local json = require("json")
+    local ops = require("redisOps")
+    local row = ops.rawRow()
+    local resp = http.get("http://svc/rank/" .. row["id"])
+    if resp and resp["status_code"] == 200 then
+      local data = json.decode(resp["body"])
+      ops.SET("rank:" .. row["id"], data["rank"])
+    end
+    """
+    r = LuaScriptRunner(script, http_transport=transport)
+    out = r.execute({"id": 3}, None, "insert")["redis"]
+    assert out[0].key == "rank:3" and float(out[0].val) == 5.0
