@@ -1372,6 +1372,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM documents GROUP BY lang
         """,
+        # greedy first-fit packing is inherently sequential per id range —
+        # statable in SQL as a set-based recursive CTE stepping rn→rn+1
+        # within each range (r2: packing became partition-invariant, so a
+        # full value oracle is possible)
+        "pack_sequences": r"""
+            WITH RECURSIVE base AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens,
+                       doc_id // 1024 AS rng
+                FROM documents
+            ), seq AS (
+                SELECT doc_id, n_tokens, rng,
+                       row_number() OVER (PARTITION BY rng ORDER BY doc_id) AS rn
+                FROM base
+            ), packed AS (
+                SELECT doc_id, n_tokens, rng, rn,
+                       doc_id AS bin_id, CAST(0 AS BIGINT) AS offset_in_bin,
+                       n_tokens AS fill
+                FROM seq WHERE rn = 1
+                UNION ALL
+                SELECT s.doc_id, s.n_tokens, s.rng, s.rn,
+                       CASE WHEN p.fill + s.n_tokens > 512 THEN s.doc_id ELSE p.bin_id END,
+                       CASE WHEN p.fill + s.n_tokens > 512 THEN 0 ELSE p.fill END,
+                       CASE WHEN p.fill + s.n_tokens > 512 THEN s.n_tokens ELSE p.fill + s.n_tokens END
+                FROM seq s JOIN packed p ON s.rng = p.rng AND s.rn = p.rn + 1
+            )
+            SELECT doc_id, n_tokens, bin_id, offset_in_bin FROM packed
+        """,
         "redact_text": r"""
             SELECT doc_id,
                    regexp_replace(

@@ -1,0 +1,35 @@
+"""Skew-proofing evidence (SURVEY §4 / north_rule): a hot key's shuffle
+contribution is bounded by the combiner to one row per input block."""
+
+import numpy as np
+import pyarrow as pa
+
+from go_mysql_transfer_ray.stages.merge import Combiner
+
+
+def _batch(hot_rows: int, cold_keys: int) -> pa.Table:
+    n = hot_rows + cold_keys
+    keys = ["hot/repohot/path"] * hot_rows + [f"r{i}/p{i}" for i in range(cold_keys)]
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "gtid": pa.array(np.arange(n, dtype=np.int64)),
+            "seq_in_txn": pa.array(np.zeros(n, dtype=np.int32)),
+            "op": pa.array(["insert"] * n, pa.string()),
+            "payload": pa.array([f"v{i}" for i in range(n)], pa.string()),
+        }
+    )
+
+
+def test_hot_key_contributes_one_row_per_block():
+    out = Combiner(16)(_batch(hot_rows=10_000, cold_keys=100))
+    assert out.num_rows == 101  # 1 for the hot key + 100 cold
+    hot = out.filter(pa.compute.equal(out.column("key"), "hot/repohot/path"))
+    # the surviving hot row is the LAST event (max gtid) — LWW partial
+    assert hot.column("gtid").to_pylist() == [9_999]
+
+
+def test_combiner_partition_assignment_is_stable():
+    out1 = Combiner(16)(_batch(10, 50))
+    out2 = Combiner(16)(_batch(10, 50))
+    assert out1.column("_part").to_pylist() == out2.column("_part").to_pylist()
