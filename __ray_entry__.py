@@ -496,6 +496,33 @@ def q_window_daily_stats(sf_dir: str):
     )
 
 
+def q_hopping_daily_stats(sf_dir: str):
+    """Hopping window (2-day windows, 1-day hop): every event counted in
+    two overlapping windows; explode happens inside the per-block
+    partial, so the shuffle carries only (window, key) partials."""
+    from go_mysql_transfer_ray.pipelines.windows import hopping_aggregate
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"],
+    )
+    return hopping_aggregate(
+        ds, ts_col="ts", key_col="event_type", value_col="value",
+        window_days=2, hop_days=1,
+    )
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization per user (1-hour gap) — vectorized
+    lag/cumsum fold over the storage shuffle."""
+    from go_mysql_transfer_ray.pipelines.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return sessionize(ds, key_col="user_id", ts_col="ts", gap_seconds=3600)
+
+
 def q_asof_last_purchase(sf_dir: str):
     """As-of join along event time per user: every event takes the most
     recent purchase value at-or-before it."""
@@ -1039,6 +1066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q1ish": q_tpch_q1ish,
         "date_format_orders": q_date_format_orders,
         "window_daily_stats": q_window_daily_stats,
+        "hopping_daily_stats": q_hopping_daily_stats,
+        "sessionize": q_sessionize,
         "asof_last_purchase": q_asof_last_purchase,
         "doc_token_counts": q_doc_token_counts,
         "doc_quality": q_doc_quality,
@@ -1185,6 +1214,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events GROUP BY 1, 2
+        """,
+        "hopping_daily_stats": """
+            SELECT date_trunc('day', ts) - (k.k * INTERVAL 1 DAY) AS window_start,
+                   event_type,
+                   count(*) AS n,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+            GROUP BY 1, 2
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events
+            ), flags AS (
+                SELECT user_id, t,
+                       CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > 3600
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), sess AS (
+                SELECT user_id, t,
+                       CAST(SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY t
+                           ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_seq
+                FROM flags
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   min(t) AS start_ts, max(t) AS end_ts
+            FROM sess GROUP BY user_id, session_seq
         """,
         "asof_last_purchase": """
             SELECT event_id, user_id,

@@ -801,7 +801,8 @@ class Interpreter:
                     a = args[ai]
                     ai += 1
                     if conv in "diouxX":
-                        out.append(f[:-1].replace("i", "d") % int(lua_tonumber(a)) if conv == "i" else f % int(lua_tonumber(a)))
+                        spec_f = f.replace("i", "d") if conv == "i" else f
+                        out.append(spec_f % int(lua_tonumber(a)))
                     elif conv in "eEfgG":
                         out.append(f % lua_tonumber(a))
                     elif conv == "q":

@@ -84,6 +84,148 @@ def tumbling_aggregate(
     )
 
 
+def hopping_aggregate(
+    ds,
+    *,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_days: int = 2,
+    hop_days: int = 1,
+):
+    """Hopping (sliding) window aggregate: each event contributes to
+    ``window_days / hop_days`` overlapping windows.
+
+    Same combiner shape as ``tumbling_aggregate`` — the explode happens
+    INSIDE the per-block partial (each row fans out to its windows
+    before the local groupby), so the shuffle still carries only
+    (window, key, partials), never the exploded events."""
+    assert window_days % hop_days == 0, "window must be a multiple of hop"
+    fanout = window_days // hop_days
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.floor_temporal(t.column(ts_col), unit="day")
+        vals = t.column(value_col).to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(vals)
+        safe = np.where(valid, vals, 0.0)
+        cents = np.where(
+            safe >= 0, np.floor(safe * 100 + 0.5), np.ceil(safe * 100 - 0.5)
+        ).astype(np.int64)
+        frames = []
+        for k in range(fanout):
+            # window starting k hops BEFORE the event's day covers it
+            start = pc.add(
+                day, pa.scalar(-k * hop_days * 86_400_000_000, pa.duration("us"))
+            )
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "window_start": pc.cast(start, pa.timestamp("us")).to_pandas(),
+                        key_col: t.column(key_col).to_pandas(),
+                        "v": np.where(valid, cents, 0),
+                    }
+                )
+            )
+        df = pd.concat(frames, ignore_index=True)
+        g = (
+            df.groupby(["window_start", key_col], sort=False, dropna=False)
+            .agg(n=("v", "size"), sum_cents=("v", "sum"))
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["sum_cents"] = g["sum_cents"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", key_col])
+        .aggregate(Sum("n", alias_name="n"), Sum("sum_cents", alias_name="sum_cents"))
+    )
+
+
+def sessionize(
+    ds,
+    *,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 3600,
+    num_partitions: int = 16,
+):
+    """Gap-based sessionization per key — the classic streaming window
+    the reference has no analogue for (its stream is pure log order,
+    SURVEY §2.8).
+
+    One hash exchange by key (the storage shuffle); within each
+    partition the fold is fully vectorized: sort by (key, ts), flag
+    rows whose gap to the previous event exceeds ``gap_seconds``,
+    cumulative-sum the flags into session ids, then segment-reduce
+    start/end/count.  Output: (key, session_seq, n_events,
+    start_ts, end_ts) with ``session_seq`` numbering a key's sessions
+    from 0 in time order."""
+    from ..stages.merge import key_hash
+    from ..stages.shuffle import storage_fold
+
+    def add_part(t: pa.Table) -> pa.Table:
+        k = t.column(key_col)
+        if not pa.types.is_string(k.type):
+            k = pc.cast(k, pa.string())
+        part = (key_hash(k) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    def fold(group: pa.Table) -> pa.Table:
+        k = group.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        codes = (
+            pc.cast(k, pa.string()).dictionary_encode().indices.to_numpy(
+                zero_copy_only=False
+            )
+            if not pa.types.is_integer(k.type)
+            else k.to_numpy(zero_copy_only=False)
+        )
+        # floor to whole epoch seconds (sub-second timestamps would fail
+        # a lossy cast; the SQL oracle floors identically)
+        us = pc.cast(pc.cast(group.column(ts_col), pa.timestamp("us")), pa.int64())
+        tsv = us.to_numpy(zero_copy_only=False) // 1_000_000
+        order = np.lexsort((tsv, codes))
+        sc, st_ = codes[order], tsv[order]
+        n = len(sc)
+        new_key = np.empty(n, dtype=bool)
+        new_key[0] = True
+        new_key[1:] = sc[1:] != sc[:-1]
+        gap = np.empty(n, dtype=bool)
+        gap[0] = True
+        gap[1:] = (st_[1:] - st_[:-1]) > gap_seconds
+        new_sess = new_key | gap
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], n]
+        # session_seq: per-key running index
+        key_first = np.flatnonzero(new_key)
+        sess_key = sc[starts]
+        seq = np.arange(len(starts), dtype=np.int64)
+        first_sess_of_key = np.searchsorted(starts, key_first)
+        seq = seq - np.repeat(
+            first_sess_of_key, np.diff(np.r_[first_sess_of_key, len(starts)])
+        )
+        key_arr = k.take(pa.array(order[starts]))
+        return pa.table(
+            {
+                key_col: key_arr,
+                "session_seq": pa.array(seq),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "start_ts": pa.array(st_[starts]),
+                "end_ts": pa.array(st_[ends - 1]),
+            }
+        )
+
+    return storage_fold(
+        ds.map_batches(add_part, batch_format="pyarrow"),
+        num_partitions,
+        fold,
+        label="sessionize",
+    )
+
+
 def asof_forward_fill(
     ds,
     *,
