@@ -120,17 +120,24 @@ def _to_lua(v):
     return v
 
 
-def to_python(v, *, numbers_as: str = "float"):
+def to_python(v):
     """Lua value → plain Python (tables → dict, or list when the table is
-    a pure array — matching lvToInterface, actuator.go:196-231)."""
+    a pure array — matching lvToInterface, actuator.go:196-231).
+
+    Integral floats collapse to int: all Lua arithmetic yields float64,
+    and Go renders float64 2.0 as ``2`` in JSON (json.Marshal shortest
+    form) — keeping them as Python floats would serialize ``2.0`` and
+    diverge from the reference's bodies."""
     if isinstance(v, LuaTable):
         n = v.length()
         if n and len(v.hash) == n:
-            return [to_python(v.hash[float(i)], numbers_as=numbers_as) for i in range(1, n + 1)]
+            return [to_python(v.hash[float(i)]) for i in range(1, n + 1)]
         out = {}
         for k, val in v.lua_items():
-            out[lua_tostring(k)] = to_python(val, numbers_as=numbers_as)
+            out[lua_tostring(k)] = to_python(val)
         return out
+    if isinstance(v, float) and not isinstance(v, bool) and v.is_integer() and abs(v) < 2**53:
+        return int(v)
     return v
 
 
@@ -1178,9 +1185,11 @@ def _lua_pat_to_re(pat: str) -> str:
             if low in classes:
                 cls = classes[low]
                 if nxt.isupper():
-                    cls = f"(?!{cls})." if cls.startswith("(") else (
-                        "[^" + cls[1:-1] + "]" if cls.startswith("[") else f"[^{cls[-1]}]"
-                    )
+                    # negate the CLASS, not its last letter: %D → [^\d]
+                    if cls.startswith("["):
+                        cls = "[^" + cls[1:-1] + "]"
+                    else:
+                        cls = f"[^{cls}]"  # "\d" → "[^\d]"
                 out.append(cls)
             else:
                 out.append(re.escape(nxt))

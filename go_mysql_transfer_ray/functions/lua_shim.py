@@ -219,10 +219,20 @@ class MongoRetBuilder:
         }
 
 
-def decode_mongo_ret(ret: dict, action: str) -> "list[MongoOp]":
+def decode_mongo_ret(ret: dict, action: str,
+                     id_seed: "str | None" = None) -> "list[MongoOp]":
     """Host-side decode of DoMongoOps (mongo_actuator.go:125-158): the
     stream action (not the op's) gates table handling; an INSERT without
-    ``_id`` gets a generated id stamped into the doc."""
+    ``_id`` gets a generated id stamped into the doc.
+
+    The reference generates a random UUID per insert
+    (stringutil.UUID()); a distributed engine needs ids that are both
+    UNIQUE across rows/actors and reproducible, so callers pass an
+    ``id_seed`` derived from the row's position (e.g. "gtid:seq") and
+    the generated id is ``gid-<seed>-<k>``.  Without a seed (ad-hoc
+    decode) a random UUID keeps reference behavior."""
+    import uuid as _uuid
+
     ops: list[MongoOp] = []
     gen = itertools.count()
     for _k, v in ret.items():
@@ -238,7 +248,11 @@ def decode_mongo_ret(ret: dict, action: str) -> "list[MongoOp]":
         )
         if action == "insert":
             if "_id" not in op.table:
-                op.id = f"gid{next(gen):08d}"
+                op.id = (
+                    f"gid-{id_seed}-{next(gen)}"
+                    if id_seed is not None
+                    else _uuid.uuid4().hex
+                )
                 op.table["_id"] = op.id
             else:
                 op.id = op.table["_id"]
@@ -494,10 +508,12 @@ class LuaScriptRunner:
         self.builders["es"] = EsRetBuilder()
         self.builders["mq"] = MqRetBuilder()
 
-    def execute(self, row: "dict | None", old: "dict | None", action: str) -> dict:
+    def execute(self, row: "dict | None", old: "dict | None", action: str,
+                id_seed: "str | None" = None) -> dict:
         """Run the script for one change row; returns decoded ops per
         module: {"redis": [RedisOp], "mongo": [...], "es": [...],
-        "mq": [...], "ret": raw merged ret dict}."""
+        "mq": [...], "ret": raw merged ret dict}.  ``id_seed`` feeds
+        Mongo generated-insert-id uniqueness (see decode_mongo_ret)."""
         from .lua_mini import LuaTable, to_python
 
         self._reset_builders()
@@ -519,7 +535,9 @@ class LuaScriptRunner:
             )
         return {
             "redis": decode_ret(merged),
-            "mongo": decode_mongo_ret(self.builders["mongo"].ret, action),
+            "mongo": decode_mongo_ret(
+                self.builders["mongo"].ret, action, id_seed=id_seed
+            ),
             "es": decode_es_ret(self.builders["es"].ret),
             "mq": decode_mq_ret(self.builders["mq"].entries),
             "ret": merged,

@@ -49,8 +49,6 @@ from ray.data.aggregate import Min
 
 from ..functions import sketch, text as textfn
 
-_U64_MAX = np.iinfo(np.uint64).max
-
 
 # ---------------------------------------------------------------------------
 # text analysis
@@ -307,30 +305,6 @@ def distinct_pairs(pairs, *, num_partitions: int = 32,
     return _ensure_schema(out, schema)
 
 
-def _drop_empty_blocks(ds, schema: "dict[str, pa.DataType]"):
-    """Rebuild a dataset from its non-empty blocks only.
-
-    Ray's sort-based ``map_groups`` emits schema-LESS empty blocks for
-    empty sort partitions, and map UDFs are never invoked on them — so
-    they can't be normalized away downstream and they crash Acero hash
-    joins ("no match for key field").  This materializes (the inputs
-    here are candidate-pair metadata, tiny) and re-assembles the
-    dataset from the non-empty block refs WITHOUT pulling any block to
-    the driver; if everything is empty, returns a single empty block
-    with the declared schema."""
-    ds = ds.materialize()
-    refs = []
-    for bundle in ds.iter_internal_ref_bundles():
-        for ref, meta in bundle.blocks:
-            if meta.num_rows is None or meta.num_rows > 0:
-                refs.append(ref)
-    if not refs:
-        return ray.data.from_arrow(
-            pa.table({c: pa.array([], t) for c, t in schema.items()})
-        )
-    return ray.data.from_arrow_refs(refs)
-
-
 def _fold_partitions(requested: int) -> int:
     """Partition count for the metadata folds, bounded by cluster CPUs —
     more output partitions than cores only adds task overhead at these
@@ -428,13 +402,23 @@ def _attach_payload(pairs, payload, *, key: str, id_col: str, payload_col: str,
 _BROADCAST_LIMIT_BYTES = 256 << 20
 
 
+_PAYLOAD_BUILD_CACHE: "dict[tuple, tuple]" = {}
+
+
 def _payload_lookup(payload, id_col: str, payload_col: str):
     """Broadcast lookup for a small payload side: block refs (data stays
     in the object store — never pulled to the driver) + a per-task
-    builder returning (sorted_ids, list_of_values)."""
+    builder returning (sorted_ids, values).  The built structure is
+    memoized PER WORKER PROCESS keyed by the ref set, so repeated
+    batches (and repeated pipelines over the same materialized payload)
+    pay the concat+argsort once, not once per batch."""
     refs = payload.select_columns([id_col, payload_col]).to_arrow_refs()
+    cache_key = tuple(r.hex() for r in refs)
 
     def build():
+        hit = _PAYLOAD_BUILD_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
         tabs = [t for t in ray.get(refs) if t.num_rows]
         ids = np.concatenate(
             [t.column(id_col).to_numpy(zero_copy_only=False) for t in tabs]
@@ -447,15 +431,52 @@ def _payload_lookup(payload, id_col: str, payload_col: str):
             vals.append(col)
         flat = pa.concat_arrays(vals)
         order = np.argsort(ids, kind="stable")
-        return ids[order], flat.take(pa.array(order))
+        built = (ids[order], flat.take(pa.array(order)))
+        _PAYLOAD_BUILD_CACHE.clear()  # bound worker memory: keep last only
+        _PAYLOAD_BUILD_CACHE[cache_key] = built
+        return built
 
     return build
 
 
+def _bin_matrix(arr: "pa.BinaryArray", dtype: str, width: int) -> np.ndarray:
+    """Fixed-stride binary column → (n, width) matrix, zero-copy off the
+    Arrow buffers (replaces per-row ``as_py()`` + ``frombuffer``)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, width), dtype=dtype)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset: arr.offset + n + 1
+    ]
+    itemsize = np.dtype(dtype).itemsize
+    expected = width * itemsize
+    if not np.all(np.diff(offs) == expected):
+        # ragged payloads (shouldn't happen for sig/vec blobs) — slow path
+        return np.stack(
+            [np.frombuffer(arr[i].as_py(), dtype=dtype) for i in range(n)]
+        )
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    start = int(offs[0])
+    return (
+        data[start: start + n * expected]
+        .view(dtype)
+        .reshape(n, width)
+    )
+
+
 def _lookup_take(sorted_ids: np.ndarray, values, keys: np.ndarray):
-    """values.take at the positions of ``keys`` in ``sorted_ids``."""
+    """values.take at the positions of ``keys`` in ``sorted_ids``.
+
+    Every key must be present (candidate ids are drawn from the payload
+    side itself); a miss would silently verify against the wrong
+    payload, so it is a hard error."""
     pos = np.searchsorted(sorted_ids, keys)
     pos = np.clip(pos, 0, len(sorted_ids) - 1)
+    if len(keys) and not np.array_equal(sorted_ids[pos], keys):
+        missing = keys[sorted_ids[pos] != keys][:5]
+        raise KeyError(f"ids missing from broadcast payload: {missing.tolist()}")
     return values.take(pa.array(pos))
 
 
@@ -555,14 +576,9 @@ def minhash_signatures_ds(
 
 
 def _sig_matrix(col, num_perm: int) -> np.ndarray:
-    """binary signature column → (n, num_perm) uint64 matrix."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = len(col)
-    if n == 0:
-        return np.empty((0, num_perm), dtype=np.uint64)
-    buf = b"".join(col.to_pylist())
-    return np.frombuffer(buf, dtype="<u8").reshape(n, num_perm)
+    """binary signature column → (n, num_perm) uint64 matrix (zero-copy
+    off the Arrow buffers via _bin_matrix)."""
+    return _bin_matrix(col, "<u8", num_perm)
 
 
 def minhash_dedup(
@@ -965,12 +981,9 @@ def embedding_dedup(
             if len(uniq) < 2:
                 continue
             take = order[s:e][first_idx]
-            mat = np.stack(
-                [
-                    np.frombuffer(vec_col_arr[int(i)].as_py(), dtype="<f4")
-                    for i in take
-                ]
-            )
+            sub = vec_col_arr.take(pa.array(take))
+            dim = len(sub[0].as_py()) // 4
+            mat = _bin_matrix(sub, "<f4", dim)
             sims = mat @ mat.T
             ii, jj = np.where(np.triu(sims >= threshold, 1))
             if len(ii):

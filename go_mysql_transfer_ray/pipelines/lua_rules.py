@@ -25,6 +25,10 @@ from ..stages.merge import fieldwise_merged_dataset, merged_dataset
 
 _SEP = "\x00"
 _STRUCT_RANK = {"string": 1, "hash": 2, "list": 3, "set": 4, "sortedset": 5}
+# intra-row op index rides inside seq_in_txn (seq*K + j); a script
+# emitting more ops than K for ONE row would collide with the next
+# row's ordering, so it is a hard error
+_MAX_OPS_PER_ROW = 1024
 
 
 class LuaRedisActor:
@@ -55,6 +59,11 @@ class LuaRedisActor:
         for i, row in enumerate(payload):
             old = before[i] if before is not None else None
             decoded = self.runner.execute(row, old, op_col[i])["redis"]
+            if len(decoded) > _MAX_OPS_PER_ROW:
+                raise ValueError(
+                    f"script emitted {len(decoded)} ops for one row; the "
+                    f"intra-row LWW order supports at most {_MAX_OPS_PER_ROW}"
+                )
             for j, op in enumerate(decoded):
                 struct = op.structure
                 if struct == "hash":
@@ -68,7 +77,7 @@ class LuaRedisActor:
                 gtids.append(int(gtid[i]))
                 # intra-row op order is part of the LWW order (a script
                 # may DEL then SET the same key for one event)
-                seqs.append(int(seq[i]) * 16 + j)
+                seqs.append(int(seq[i]) * _MAX_OPS_PER_ROW + j)
                 ops.append("delete" if op.action == "delete" else "insert")
                 redis_keys.append(op.key)
                 fields.append(op.field)
@@ -116,11 +125,18 @@ class LuaMongoActor:
         keys, gtids, seqs, ops = [], [], [], []
         docs: dict[str, list] = {c: [] for c in self.doc_cols}
         for i, row in enumerate(payload):
-            decoded = self.runner.execute(row, None, op_col[i])["mongo"]
+            decoded = self.runner.execute(
+                row, None, op_col[i], id_seed=f"{int(gtid[i])}:{int(seq[i])}"
+            )["mongo"]
+            if len(decoded) > _MAX_OPS_PER_ROW:
+                raise ValueError(
+                    f"script emitted {len(decoded)} ops for one row; the "
+                    f"intra-row LWW order supports at most {_MAX_OPS_PER_ROW}"
+                )
             for j, op in enumerate(decoded):
                 keys.append(f"{op.collection}{_SEP}{to_string_go(op.id)}")
                 gtids.append(int(gtid[i]))
-                seqs.append(int(seq[i]) * 16 + j)
+                seqs.append(int(seq[i]) * _MAX_OPS_PER_ROW + j)
                 ops.append(op.action)
                 table = op.table or {}
                 for c in self.doc_cols:

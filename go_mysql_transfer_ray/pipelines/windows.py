@@ -223,6 +223,13 @@ def sessionize(
         num_partitions,
         fold,
         label="sessionize",
+        empty_schema={
+            key_col: pa.int64(),
+            "session_seq": pa.int64(),
+            "n_events": pa.int64(),
+            "start_ts": pa.int64(),
+            "end_ts": pa.int64(),
+        },
     )
 
 

@@ -317,4 +317,11 @@ def list_state(
     ops = ds.map_batches(to_ops, batch_format="pyarrow").map_batches(
         lambda t: add_partition_column(t, num_partitions), batch_format="pyarrow"
     )
-    return storage_fold(ops, num_partitions, fold, label="redis-list")
+    return storage_fold(
+        ops, num_partitions, fold, label="redis-list",
+        empty_schema={
+            "redis_key": pa.string(),
+            "list_pos": pa.int32(),
+            "value": pa.string(),
+        },
+    )

@@ -47,10 +47,30 @@ import pyarrow.parquet as pq
 class DeltaWriter:
     """map_batches stage: split a combined batch by ``_part`` and append
     delta Parquet files.  Emits one tiny count row per batch so the
-    pipeline stays streaming (no data returns to the object store)."""
+    pipeline stays streaming (no data returns to the object store).
+
+    Delta filenames are derived from the Ray TASK id (stable across task
+    RETRIES) plus a per-task call counter, so a retried map task
+    overwrites its own files instead of appending duplicates — making
+    the exchange retry-idempotent for ALL folds, including
+    non-prereducible ones (sessionize event counts, redis list replay)
+    where the LWW dedup argument alone would not hold."""
 
     def __init__(self, shuffle_dir: str):
         self.shuffle_dir = shuffle_dir
+        self._calls = 0
+
+    def _name_stem(self) -> str:
+        self._calls += 1
+        try:
+            import ray as _ray
+
+            tid = _ray.get_runtime_context().get_task_id()
+        except Exception:
+            tid = None
+        if tid:
+            return f"{tid[:20]}-{self._calls:05d}"
+        return uuid.uuid4().hex[:12]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -62,7 +82,7 @@ class DeltaWriter:
         bounds = np.flatnonzero(np.diff(part)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(part)]])
-        u = uuid.uuid4().hex[:12]
+        u = self._name_stem()
         for s, e in zip(starts, ends):
             p = int(part[s])
             pq.write_table(
@@ -115,7 +135,8 @@ def cleanup(shuffle_dir: str) -> None:
 _FOLD_ROOT = "/tmp/gmt_shuffle"
 
 
-def storage_fold(ds, num_partitions: int, fold, *, label: str = "fold"):
+def storage_fold(ds, num_partitions: int, fold, *, label: str = "fold",
+                 empty_schema: "dict | None" = None):
     """Generic Dataset → Dataset keyed fold over the storage shuffle.
 
     ``ds`` must carry an int32 ``_part`` column (0..num_partitions-1);
@@ -151,7 +172,11 @@ def storage_fold(ds, num_partitions: int, fold, *, label: str = "fold"):
             p for p in range(num_partitions) if partition_delta_files(shuffle_dir, p)
         ]
         if not live:
-            return ray.data.from_arrow(pa.table({}))
+            # ``empty_schema`` keeps an empty result schema-ful so
+            # downstream select_columns on a no-op stream doesn't break
+            return ray.data.from_arrow(
+                pa.table({c: pa.array([], t) for c, t in (empty_schema or {}).items()})
+            )
 
         def run(batch: dict) -> pa.Table:
             outs = []
