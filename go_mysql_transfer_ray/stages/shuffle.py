@@ -49,28 +49,46 @@ class DeltaWriter:
     delta Parquet files.  Emits one tiny count row per batch so the
     pipeline stays streaming (no data returns to the object store).
 
-    Delta filenames are derived from the Ray TASK id (stable across task
-    RETRIES) plus a per-task call counter, so a retried map task
-    overwrites its own files instead of appending duplicates — making
-    the exchange retry-idempotent for ALL folds, including
+    Delta filenames are a CONTENT fingerprint of the batch (plus the Ray
+    task id): a retried map task re-processing the same batch writes the
+    same filename and overwrites instead of appending duplicates —
+    making the exchange retry-idempotent for ALL folds, including
     non-prereducible ones (sessionize event counts, redis list replay)
-    where the LWW dedup argument alone would not hold."""
+    where the flagship's LWW dedup argument alone would not hold.  A
+    task-id-plus-counter scheme is NOT retry-stable: Ray caches the
+    deserialized UDF per worker, so a retry in a surviving worker would
+    continue the counter."""
 
     def __init__(self, shuffle_dir: str):
         self.shuffle_dir = shuffle_dir
-        self._calls = 0
 
-    def _name_stem(self) -> str:
-        self._calls += 1
+    @staticmethod
+    def _name_stem(batch: pa.Table, part: np.ndarray) -> str:
+        import hashlib
+
+        import pandas as pd
+
+        h = hashlib.sha1()
+        h.update(len(part).to_bytes(8, "little"))
+        h.update(np.ascontiguousarray(part).tobytes())
+        # first non-partition column, hashed vectorized — cheap and
+        # content-distinguishing together with row count + part layout
+        for name in batch.column_names:
+            if name != "_part":
+                hv = pd.util.hash_array(
+                    batch.column(name).to_numpy(zero_copy_only=False),
+                    categorize=False,
+                )
+                h.update(hv.sum(dtype=np.uint64).tobytes())
+                h.update(hv[:: max(1, len(hv) // 16)].tobytes())
+                break
         try:
             import ray as _ray
 
-            tid = _ray.get_runtime_context().get_task_id()
+            tid = _ray.get_runtime_context().get_task_id() or ""
         except Exception:
-            tid = None
-        if tid:
-            return f"{tid[:20]}-{self._calls:05d}"
-        return uuid.uuid4().hex[:12]
+            tid = ""
+        return f"{tid[:16]}-{h.hexdigest()[:16]}"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -82,7 +100,7 @@ class DeltaWriter:
         bounds = np.flatnonzero(np.diff(part)) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(part)]])
-        u = self._name_stem()
+        u = self._name_stem(batch, part)
         for s, e in zip(starts, ends):
             p = int(part[s])
             pq.write_table(
