@@ -33,3 +33,27 @@ def test_combiner_partition_assignment_is_stable():
     out1 = Combiner(16)(_batch(10, 50))
     out2 = Combiner(16)(_batch(10, 50))
     assert out1.column("_part").to_pylist() == out2.column("_part").to_pylist()
+
+
+def test_delta_writer_retry_overwrites(tmp_path):
+    """A replayed batch (task retry) writes the SAME delta filenames —
+    the exchange stays idempotent even for non-prereducible folds."""
+    import glob
+    import os
+
+    from go_mysql_transfer_ray.stages import shuffle as shfl
+
+    d = str(tmp_path / "shuf")
+    shfl.prepare_shuffle_dir(d, 4, {"t": 1})
+    batch = Combiner(4)(_batch(100, 20))
+    w = shfl.DeltaWriter(d)
+    w(batch)
+    files1 = sorted(glob.glob(os.path.join(d, "part=*", "*.parquet")))
+    w(batch)  # simulated retry: identical batch
+    files2 = sorted(glob.glob(os.path.join(d, "part=*", "*.parquet")))
+    assert files1 == files2 and files1
+
+    other = Combiner(4)(_batch(101, 21))  # different content → new names
+    w(other)
+    files3 = sorted(glob.glob(os.path.join(d, "part=*", "*.parquet")))
+    assert len(files3) > len(files2)
