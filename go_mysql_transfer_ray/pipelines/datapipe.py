@@ -14,15 +14,18 @@ the driver):
   pairs only;
 * MinHash-LSH — the band shuffle carries (band, bucket, doc_id) triples
   (tiny); candidate pairs are generated per hash-partition of the bucket
-  key; verification attaches both signatures to each pair with two
-  hash-shuffle joins (``Dataset.join``) and compares them vectorized;
-  clustering is the distributed large-star/small-star connected
-  components — the driver never sees ids, pairs, or signatures;
+  key; verification attaches both signatures to each pair via
+  ``_attach_payload``: a broadcast object-store lookup when the
+  signature side fits ``_BROADCAST_LIMIT_BYTES``, else a reduce-side
+  hash join over the storage shuffle (``Dataset.join`` is banned —
+  CLAUDE.md); clustering is the distributed large-star/small-star
+  connected components — the driver never sees ids, pairs, or
+  signatures;
 * SimHash — the 64-bit hash rides inside the band triples, so pairs are
   Hamming-verified inside the candidate fold with no join at all;
-* n-gram Jaccard — the exact verify is a shuffle semi-join: pair →
-  (set_a, set_b) via two ``Dataset.join`` legs, true Jaccard per pair in
-  the joined batches;
+* n-gram Jaccard — the exact verify attaches (set_a, set_b) to each
+  pair through the same ``_attach_payload`` broadcast / reduce-side
+  paths, true Jaccard per pair in the attached batches;
 * embedding near-dup — multi-table random-hyperplane LSH buckets; the
   only matmuls are within-bucket, so scanned volume is ~n·(bucket size),
   not n²;
@@ -387,10 +390,19 @@ def _attach_payload(pairs, payload, *, key: str, id_col: str, payload_col: str,
         cols[out_col] = pv.take(pa.array(src))
         return pa.table(cols)
 
-    parts = _add_part(tagged, ["_jk"], num_partitions)
-    out = parts.groupby("_part").map_groups(fold, batch_format="pyarrow")
+    from ..stages.shuffle import storage_fold
+
     out_schema = dict(pairs_schema)
     out_schema[out_col] = ptype
+    parts = _add_part(tagged, ["_jk"], num_partitions)
+    # the exchange is the storage shuffle (stages/shuffle.py) — the same
+    # one every payload-carrying keyed fold uses; the sort-based
+    # groupby("_part").map_groups is CPU-count-invariant on this box
+    # (BASELINE.md) and this path only engages when the payload side
+    # exceeds the broadcast limit, i.e. exactly when that would hurt
+    out = storage_fold(
+        parts, num_partitions, fold, label="attach", empty_schema=out_schema
+    )
     return _ensure_schema(out, out_schema)
 
 

@@ -41,10 +41,19 @@ class LuaRedisActor:
 
     def __init__(self, script: str, payload_cols: "tuple[str, ...]",
                  order_cols: "tuple[str, str]" = ("gtid", "seq_in_txn"),
-                 lookup: "dict | None" = None):
+                 lookup: "dict | None" = None, on_list: str = "error"):
+        # ``on_list``: what to do with list-structure ops (RPUSH/LREM).
+        #   "error" — raise: the LWW merge would collapse a list to its
+        #             last pushed value (use lua_redis_list_state);
+        #   "only"  — keep ONLY list ops (the ordered-replay path);
+        #   "drop"  — keep only NON-list ops (pairs with "only" when one
+        #             script feeds both merges).
+        if on_list not in ("error", "only", "drop"):
+            raise ValueError(f"on_list must be error|only|drop, got {on_list!r}")
         self.runner = LuaScriptRunner(script, lookup=lookup)
         self.payload_cols = payload_cols
         self.order_cols = order_cols
+        self.on_list = on_list
 
     def __call__(self, t: pa.Table) -> pa.Table:
         gtid = t.column(self.order_cols[0]).to_numpy(zero_copy_only=False)
@@ -66,6 +75,18 @@ class LuaRedisActor:
                 )
             for j, op in enumerate(decoded):
                 struct = op.structure
+                if struct == "list":
+                    if self.on_list == "error":
+                        raise ValueError(
+                            "script emitted a list-structure op (RPUSH/"
+                            "LREM); the LWW merge would collapse the list "
+                            "to its last value — use lua_redis_list_state "
+                            "for the ordered replay"
+                        )
+                    if self.on_list == "drop":
+                        continue
+                elif self.on_list == "only":
+                    continue
                 if struct == "hash":
                     mk = f"{struct}{_SEP}{op.key}{_SEP}{op.field}"
                 elif struct in ("set", "sortedset"):
@@ -88,8 +109,10 @@ class LuaRedisActor:
         return pa.table(
             {
                 "key": pa.array(keys, pa.string()),
+                # packed seq*K+j is int64: int32 silently wrapped (numpy
+                # 1.x) for source seq_in_txn above ~2.09M
                 "gtid": pa.array(np.asarray(gtids, dtype=np.int64)),
-                "seq_in_txn": pa.array(np.asarray(seqs, dtype=np.int32)),
+                "seq_in_txn": pa.array(np.asarray(seqs, dtype=np.int64)),
                 "op": pa.array(ops, pa.string()),
                 "redis_key": pa.array(redis_keys, pa.string()),
                 "field": pa.array(fields, pa.string()),
@@ -144,7 +167,8 @@ class LuaMongoActor:
         cols = {
             "key": pa.array(keys, pa.string()),
             "gtid": pa.array(np.asarray(gtids, dtype=np.int64)),
-            "seq_in_txn": pa.array(np.asarray(seqs, dtype=np.int32)),
+            # int64: the seq*K+j packing overflows int32 for large txns
+            "seq_in_txn": pa.array(np.asarray(seqs, dtype=np.int64)),
             "op": pa.array(ops, pa.string()),
         }
         for c in self.doc_cols:
@@ -242,6 +266,7 @@ def lua_redis_state(
     lookup: "dict | None" = None,
     num_partitions: int = 16,
     concurrency: "int | tuple[int, int]" = (1, 4),
+    on_list: str = "error",
 ):
     """Converged Redis state produced by a Lua rule script.
 
@@ -249,13 +274,68 @@ def lua_redis_state(
     ``payload_cols``.  Returns a Dataset of surviving entries
     ``(redis_key, field, value, score)`` after the LWW merge (delete
     tombstones dropped) — identical semantics to replaying the script's
-    ops against a Redis in log order."""
+    ops against a Redis in log order.  List-structure ops (RPUSH/LREM)
+    are position-dependent and raise here (``on_list="error"``) — use
+    ``lua_redis_list_state`` for their ordered replay; a script that
+    mixes structures runs both pipelines (``on_list="drop"`` here)."""
     ops = ds.map_batches(
         LuaRedisActor,
-        fn_constructor_args=(script, tuple(payload_cols), tuple(order_cols), lookup),
+        fn_constructor_args=(
+            script, tuple(payload_cols), tuple(order_cols), lookup, on_list,
+        ),
         concurrency=concurrency,
         batch_format="pyarrow",
     )
     return merged_dataset(
         ops, num_partitions, final_columns=["redis_key", "field", "value", "score"]
+    )
+
+
+def lua_redis_list_state(
+    ds,
+    script: str,
+    *,
+    payload_cols: "tuple[str, ...]",
+    order_cols: "tuple[str, str]" = ("gtid", "seq_in_txn"),
+    lookup: "dict | None" = None,
+    num_partitions: int = 16,
+    concurrency: "int | tuple[int, int]" = (1, 4),
+):
+    """Converged Redis LIST state from a Lua rule script's RPUSH/LREM ops
+    (redis_actuator.go list path → redis.go:239-252).
+
+    List semantics are position-dependent, so instead of the LWW merge
+    the decoded list ops ride the same per-key ordered replay as the
+    declarative list rules (stages/redis_state.list_replay_fold over the
+    storage shuffle).  Returns ``(redis_key, list_pos, value)``."""
+    from ..stages.merge import add_partition_column
+    from ..stages.redis_state import list_replay_fold
+    from ..stages.shuffle import storage_fold
+
+    ops = ds.map_batches(
+        LuaRedisActor,
+        fn_constructor_args=(
+            script, tuple(payload_cols), tuple(order_cols), lookup, "only",
+        ),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        # group by the rendered redis key; gtid/seq carry the log order
+        # (seq already packs the intra-row op index)
+        t = t.select(["redis_key", "gtid", "seq_in_txn", "op", "value"])
+        t = t.rename_columns(["key", "gtid", "seq_in_txn", "op", "value"])
+        return add_partition_column(t, num_partitions)
+
+    return storage_fold(
+        ops.map_batches(project, batch_format="pyarrow"),
+        num_partitions,
+        list_replay_fold,
+        label="lua-redis-list",
+        empty_schema={
+            "redis_key": pa.string(),
+            "list_pos": pa.int32(),
+            "value": pa.string(),
+        },
     )

@@ -218,13 +218,23 @@ def sessionize(
             }
         )
 
+    # empty-input schema mirrors the fold's real output; the key type
+    # comes from the input schema (a string key hardcoded as int64 broke
+    # schema-dependent consumers of an empty result)
+    try:
+        schema = ds.schema()
+        key_type = dict(zip(schema.names, schema.types))[key_col]
+        if not isinstance(key_type, pa.DataType):
+            key_type = pa.int64()
+    except Exception:
+        key_type = pa.int64()
     return storage_fold(
         ds.map_batches(add_part, batch_format="pyarrow"),
         num_partitions,
         fold,
         label="sessionize",
         empty_schema={
-            key_col: pa.int64(),
+            key_col: key_type,
             "session_seq": pa.int64(),
             "n_events": pa.int64(),
             "start_ts": pa.int64(),

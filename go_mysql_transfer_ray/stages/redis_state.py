@@ -30,7 +30,9 @@ stream (A5: update = remove-old-then-add):
   delete/SREM/ZREM tombstones drop — an associative reduce, so it uses
   the same combiner + shuffle plan as the lake merge (stages/merge.py)
 * list                  → per-key ordered fold (RPUSH order matters);
-  groupby(key) + sorted replay inside ``map_groups``
+  hash-partition by key over the storage shuffle, vectorized replay per
+  partition (``list_replay_fold``: pure-RPUSH keys are one numpy pass;
+  Python replay only for keys that saw an LREM)
 """
 
 from __future__ import annotations
@@ -243,6 +245,103 @@ def structure_state(
     return merged_dataset(ops, num_partitions, final_columns=final_cols)
 
 
+def list_replay_fold(group: pa.Table) -> pa.Table:
+    """Per-key ordered replay of RPUSH / LREM+RPUSH / LREM
+    (/root/reference/service/endpoint/redis.go:239-252; LREM count=0
+    removes ALL occurrences).
+
+    Vectorized where list semantics allow: the partition is sorted once
+    and segmented by key (arrow dictionary codes + numpy); keys whose
+    every op is RPUSH (the common case) are emitted with one vectorized
+    position computation — Python replay runs ONLY for the keys that saw
+    an LREM (update/delete), on numpy array slices, no dict rows.
+
+    ``group`` columns: key, gtid, seq_in_txn, op, value[, old_value].
+    Returns (redis_key, list_pos, value)."""
+    empty = pa.table(
+        {
+            "redis_key": pa.array([], pa.string()),
+            "list_pos": pa.array([], pa.int32()),
+            "value": pa.array([], pa.string()),
+        }
+    )
+    n = group.num_rows
+    if n == 0:
+        return empty
+    group = group.sort_by(
+        [("key", "ascending"), ("gtid", "ascending"), ("seq_in_txn", "ascending")]
+    )
+    k = group.column("key")
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    codes = k.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    ops = group.column("op").to_numpy(zero_copy_only=False)
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    new_seg[1:] = codes[1:] != codes[:-1]
+    seg_start = np.flatnonzero(new_seg)
+    seg_end = np.r_[seg_start[1:], n]
+    seg_id = np.cumsum(new_seg) - 1
+    is_push = ops == "insert"
+    # a key is "clean" iff it only ever saw RPUSH — its final list is the
+    # pushed values in log order, positions 0..len-1 (pure vector math)
+    clean_seg = np.logical_and.reduceat(is_push, seg_start)
+    clean_rows = clean_seg[seg_id]
+    outs = []
+    if clean_rows.any():
+        idx = np.arange(n, dtype=np.int64)
+        pos = (idx - seg_start[seg_id])[clean_rows].astype(np.int32)
+        sel = group.filter(pa.array(clean_rows))
+        outs.append(
+            pa.table(
+                {
+                    "redis_key": sel.column("key"),
+                    "list_pos": pa.array(pos),
+                    "value": sel.column("value"),
+                }
+            )
+        )
+    dirty = np.flatnonzero(~clean_seg)
+    if len(dirty):
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        olds = (
+            group.column("old_value").to_numpy(zero_copy_only=False)
+            if "old_value" in group.column_names
+            else None
+        )
+        keys_np = k.to_numpy(zero_copy_only=False)
+        out_keys: list = []
+        out_pos: list[int] = []
+        out_vals: list = []
+        for s in dirty:
+            a, b = int(seg_start[s]), int(seg_end[s])
+            lst: list = []
+            for i in range(a, b):
+                op = ops[i]
+                if op == "insert":
+                    lst.append(vals[i])
+                elif op == "update":
+                    old = olds[i] if olds is not None else vals[i]
+                    lst = [x for x in lst if x != old]
+                    lst.append(vals[i])
+                elif op == "delete":
+                    lst = [x for x in lst if x != vals[i]]
+            key = keys_np[a]
+            out_keys.extend([key] * len(lst))
+            out_pos.extend(range(len(lst)))
+            out_vals.extend(lst)
+        outs.append(
+            pa.table(
+                {
+                    "redis_key": pa.array(out_keys, pa.string()),
+                    "list_pos": pa.array(out_pos, pa.int32()),
+                    "value": pa.array(out_vals, pa.string()),
+                }
+            )
+        )
+    return pa.concat_tables(outs) if outs else empty
+
+
 def list_state(
     ds: "object",
     plan: RedisPlan,
@@ -276,41 +375,6 @@ def list_state(
             cols["old_value"] = plan._stringify(t.column(old_value_col))
         return pa.table(cols)
 
-    def fold(group: pa.Table) -> pa.Table:
-        group = group.sort_by(
-            [("key", "ascending"), ("gtid", "ascending"), ("seq_in_txn", "ascending")]
-        )
-        out_keys: list[str] = []
-        out_pos: list[int] = []
-        out_vals: list[str] = []
-        rows = group.to_pylist()
-        state: dict[str, list] = {}
-        for r in rows:
-            lst = state.setdefault(r["key"], [])
-            op = r["op"]
-            # LREM with count=0 removes ALL occurrences
-            # (/root/reference/service/endpoint/redis.go:240-246)
-            if op == "insert":
-                lst.append(r["value"])
-            elif op == "update":
-                old = r.get("old_value", r["value"])
-                lst[:] = [x for x in lst if x != old]
-                lst.append(r["value"])
-            elif op == "delete":
-                lst[:] = [x for x in lst if x != r["value"]]
-        for k, lst in state.items():
-            for i, v in enumerate(lst):
-                out_keys.append(k)
-                out_pos.append(i)
-                out_vals.append(v)
-        return pa.table(
-            {
-                "redis_key": pa.array(out_keys, pa.string()),
-                "list_pos": pa.array(out_pos, pa.int32()),
-                "value": pa.array(out_vals, pa.string()),
-            }
-        )
-
     from .merge import add_partition_column
     from .shuffle import storage_fold
 
@@ -318,7 +382,7 @@ def list_state(
         lambda t: add_partition_column(t, num_partitions), batch_format="pyarrow"
     )
     return storage_fold(
-        ops, num_partitions, fold, label="redis-list",
+        ops, num_partitions, list_replay_fold, label="redis-list",
         empty_schema={
             "redis_key": pa.string(),
             "list_pos": pa.int32(),

@@ -71,17 +71,27 @@ class DeltaWriter:
         h = hashlib.sha1()
         h.update(len(part).to_bytes(8, "little"))
         h.update(np.ascontiguousarray(part).tobytes())
-        # first non-partition column, hashed vectorized — cheap and
-        # content-distinguishing together with row count + part layout
+        # EVERY non-partition column is hashed (vectorized row-hash per
+        # column, full digest).  Hashing only the first column collided
+        # for batches that agreed on the key but differed in payload
+        # (e.g. same 'key'/'_part', different 'gtid'), silently
+        # overwriting one batch's deltas with another's.
         for name in batch.column_names:
-            if name != "_part":
+            if name == "_part":
+                continue
+            col = batch.column(name)
+            try:
                 hv = pd.util.hash_array(
-                    batch.column(name).to_numpy(zero_copy_only=False),
-                    categorize=False,
+                    col.to_numpy(zero_copy_only=False), categorize=False
                 )
-                h.update(hv.sum(dtype=np.uint64).tobytes())
-                h.update(hv[:: max(1, len(hv) // 16)].tobytes())
-                break
+                h.update(np.ascontiguousarray(hv).tobytes())
+            except TypeError:
+                # nested / non-hashable dtype: fall back to the Arrow
+                # buffer bytes of the combined chunk (still vectorized)
+                for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+                    for buf in chunk.buffers():
+                        if buf is not None:
+                            h.update(buf)
         try:
             import ray as _ray
 

@@ -57,3 +57,40 @@ def test_delta_writer_retry_overwrites(tmp_path):
     w(other)
     files3 = sorted(glob.glob(os.path.join(d, "part=*", "*.parquet")))
     assert len(files3) > len(files2)
+
+
+def test_delta_writer_no_collision_same_key_different_payload(tmp_path):
+    """Regression: two batches that agree on the FIRST column (key) and
+    _part layout but differ in a later column (gtid) must produce
+    distinct delta filenames — a stem that fingerprints only the first
+    column silently overwrote the earlier batch's rows."""
+    import glob
+    import os
+
+    from go_mysql_transfer_ray.stages import shuffle as shfl
+
+    d = str(tmp_path / "shuf")
+    shfl.prepare_shuffle_dir(d, 4, {"t": 1})
+
+    def mk(gtid_base: int) -> pa.Table:
+        n = 50
+        return pa.table(
+            {
+                "key": pa.array([f"k{i % 5}" for i in range(n)], pa.string()),
+                "gtid": pa.array(np.arange(n, dtype=np.int64) + gtid_base),
+                "seq_in_txn": pa.array(np.zeros(n, dtype=np.int32)),
+                "op": pa.array(["insert"] * n, pa.string()),
+                "payload": pa.array([f"v{i}" for i in range(n)], pa.string()),
+                "_part": pa.array(np.arange(n, dtype=np.int32) % 4),
+            }
+        )
+
+    w = shfl.DeltaWriter(d)
+    w(mk(0))
+    w(mk(1_000_000))  # same key/_part columns, different gtid column
+    files = sorted(glob.glob(os.path.join(d, "part=*", "*.parquet")))
+    total = sum(
+        __import__("pyarrow.parquet", fromlist=["pq"]).read_table(f).num_rows
+        for f in files
+    )
+    assert total == 100, f"expected both batches' rows on disk, got {total}"

@@ -304,6 +304,26 @@ def test_embedding_dedup_lsh_matches_planted(emb):
     assert (out["cosine"] >= 0.999).all()
 
 
+def test_attach_payload_reduce_side_path(monkeypatch):
+    """Force the >broadcast-limit reduce-side hash join (storage-shuffle
+    exchange) by shrinking _BROADCAST_LIMIT_BYTES to zero: minhash and
+    ngram dedup must still find the planted near-dups — the big-side
+    path is exercised, not just the broadcast path CI normally hits."""
+    monkeypatch.setattr(datapipe, "_BROADCAST_LIMIT_BYTES", 0)
+    rows = []
+    for i in range(30):
+        rows.append({"doc_id": i, "text": " ".join(f"rj{i}_{j}" for j in range(60))})
+    rows.append({"doc_id": 200, "text": rows[4]["text"]})
+    ds = ray.data.from_items(rows, override_num_blocks=7)
+    out = datapipe.minhash_dedup(ds, threshold=0.6).to_pandas()
+    cl = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert cl[200] == cl[4] == 4 and cl[5] == 5
+
+    out2 = datapipe.ngram_jaccard_dedup(ds, threshold=0.8, n=3).to_pandas()
+    cl2 = dict(zip(out2["doc_id"], out2["cluster_id"]))
+    assert cl2[200] == cl2[4] == 4 and cl2[5] == 5
+
+
 def test_short_doc_shingles_batch_independent():
     """A short doc's shingle hash must not depend on the following doc
     in the batch (review regression)."""

@@ -127,6 +127,98 @@ def test_list_lrem_removes_all_occurrences(ray_session):
     assert list(out.value) == ["w"]
 
 
+def test_list_fold_mixed_clean_and_dirty_keys(ray_session):
+    """The vectorized fold's two paths agree with a straight replay:
+    pure-RPUSH keys (numpy fast path) interleaved with LREM keys."""
+    rows = []
+    gt = 0
+    # clean keys c0..c4: RPUSH only
+    for i in range(5):
+        for j in range(4):
+            gt += 1
+            rows.append((gt, "insert", f"c{i}", f"v{j}"))
+    # dirty keys d0..d2: RPUSH + LREM interleaved
+    for i in range(3):
+        gt += 1
+        rows.append((gt, "insert", f"d{i}", "a"))
+        gt += 1
+        rows.append((gt, "insert", f"d{i}", "b"))
+        gt += 1
+        rows.append((gt, "update", f"d{i}", "a2", "a"))
+        gt += 1
+        rows.append((gt, "insert", f"d{i}", "a"))
+        gt += 1
+        rows.append((gt, "delete", f"d{i}", "b"))
+    ds = _changes(rows)
+    plan = RedisPlan(RedisConfig(structure="list", key_column="user"), ("user",))
+    out = list_state(
+        ds, plan, value_col="val", old_value_col="old_val", num_partitions=4
+    ).to_pandas()
+    state = {}
+    for k, grp in out.groupby("redis_key"):
+        state[k] = list(grp.sort_values("list_pos").value)
+    for i in range(5):
+        assert state[f"c{i}"] == ["v0", "v1", "v2", "v3"]
+    for i in range(3):
+        assert state[f"d{i}"] == ["a2", "a"]
+
+
+_LUA_LIST_RULE = """
+local ops = require("redisOps")
+local row = ops.rawRow()
+local act = ops.rawAction()
+local key = "lst:" .. row["user"]
+if act == "delete" then
+  ops.LREM(key, row["val"])
+else
+  ops.RPUSH(key, row["val"])
+end
+"""
+
+
+def test_lua_redis_state_rejects_list_ops(ray_session):
+    import pytest as _p
+
+    from go_mysql_transfer_ray.pipelines.lua_rules import lua_redis_state
+
+    ds = _changes([(1, "insert", "a", "x")])
+    # the storage-fold exchange executes eagerly, so the guard fires at
+    # pipeline-construction time
+    with _p.raises(Exception) as ei:
+        lua_redis_state(
+            ds, _LUA_LIST_RULE, payload_cols=("user", "val"), num_partitions=2
+        ).materialize()
+    assert "lua_redis_list_state" in str(ei.value)
+
+
+def test_lua_redis_list_state_ordered_replay(ray_session):
+    """Lua RPUSH/LREM ops ride the ordered list replay, not the LWW merge
+    (which would collapse the list to its last pushed value)."""
+    from go_mysql_transfer_ray.pipelines.lua_rules import lua_redis_list_state
+
+    ds = _changes(
+        [
+            (1, "insert", "a", "x"),
+            (2, "insert", "a", "y"),
+            (3, "insert", "a", "x"),
+            (4, "delete", "a", "x"),  # LREM removes ALL occurrences
+            (5, "insert", "a", "z"),
+            (6, "insert", "b", "only"),
+        ]
+    )
+    out = (
+        lua_redis_list_state(
+            ds, _LUA_LIST_RULE, payload_cols=("user", "val"), num_partitions=2
+        )
+        .to_pandas()
+        .sort_values(["redis_key", "list_pos"])
+    )
+    state = {
+        k: list(g.value) for k, g in out.groupby("redis_key")
+    }
+    assert state == {"lst:a": ["y", "z"], "lst:b": ["only"]}
+
+
 def test_config_validation_errors():
     import pytest as _p
 
