@@ -31,12 +31,17 @@ from go_mysql_transfer_ray.functions import text as textfn
 from go_mysql_transfer_ray.functions.coerce import ColumnSpec
 from go_mysql_transfer_ray.pipelines import cdc, datapipe, message_sink, multimodal
 from go_mysql_transfer_ray.rules import RuleConfig, RulePlan
-from go_mysql_transfer_ray.sources.binlog import BinlogConfig, materialize_events
+from go_mysql_transfer_ray.sources.binlog import (
+    BinlogConfig,
+    materialize_events,
+    materialize_multi_events,
+)
 from go_mysql_transfer_ray.stages.merge import merged_dataset
 
 _EVENT_CACHE_ROOT = "/tmp/gmt_ray_entry_events"
 _LAKE_ROOT = "/tmp/gmt_ray_entry_lake"
 _CHANGES_ORACLE_PATH = "/tmp/gmt_oracle_changes/cdc_replay_repos"
+_MULTI_CHANGES_ORACLE_PATH = "/tmp/gmt_oracle_changes/cdc_replay_two_tables"
 
 
 def _round_half_away(x: np.ndarray) -> np.ndarray:
@@ -90,6 +95,87 @@ def q_cdc_replay_repos(sf_dir: str) -> pa.Table:
     events_dir = materialize_events(cfg, root=_EVENT_CACHE_ROOT, shards=8)
     cdc.write_decoded_changes(events_dir, _CHANGES_ORACLE_PATH)
     return _replay(sf_dir)
+
+
+def _users_cfg(sf_dir: str) -> BinlogConfig:
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    return BinlogConfig(
+        seed=101,
+        num_keys=max(60, n_docs),
+        avg_events_per_key=3.0,
+        delete_pct=10,
+        bad_arity_permille=5,
+    )
+
+
+_TWO_TABLE_RULES = None  # built lazily (RuleConfig import order)
+
+
+def _two_table_rules():
+    global _TWO_TABLE_RULES
+    if _TWO_TABLE_RULES is None:
+        _TWO_TABLE_RULES = {
+            "repos": RuleConfig(
+                table="repos", include_columns="repo,path,lang,stars",
+                column_mappings="lang=language", primary_keys=("repo", "path"),
+            ),
+            "users": RuleConfig(
+                table="users", include_columns="user_id,plan",
+                column_mappings="plan=tier", default_column_values="src=cdc",
+                primary_keys=("user_id",),
+            ),
+        }
+    return _TWO_TABLE_RULES
+
+
+def q_cdc_replay_two_tables(sf_dir: str) -> pa.Table:
+    """Multi-table, multi-rule SINGLE-PASS replay (the reference's core
+    operating mode, /root/reference/service/transfer_service.go:206-276 +
+    service/handler.go:83-86): two tables interleaved in one GTID stream,
+    each routed to its own rule, one shared merge exchange.  repos takes
+    its mid-stream DDL (stars) through the rule; users gets a rename and
+    an appended default.  Returns the UNION view (table column + null-
+    padded per-table columns) so the oracle can state both tables' LWW in
+    one relation."""
+    cfg = _binlog_cfg(sf_dir)
+    ucfg = _users_cfg(sf_dir)
+    events_dir = materialize_multi_events(
+        cfg, ucfg, root=_EVENT_CACHE_ROOT + "_multi", shards=8
+    )
+    cdc.write_decoded_changes_multi(events_dir, _MULTI_CHANGES_ORACLE_PATH)
+    out = os.path.join(
+        _LAKE_ROOT, f"multi-{cfg.fingerprint()}-{ucfg.fingerprint()}"
+    )
+    cdc.replay_multi(events_dir, out, rules=_two_table_rules(), num_partitions=32)
+    repos = cdc.lake_table(os.path.join(out, "repos"))
+    users = cdc.lake_table(os.path.join(out, "users"))
+    nr, nu = repos.num_rows, users.num_rows
+    return pa.table(
+        {
+            "src_table": pa.array(["repos"] * nr + ["users"] * nu, pa.string()),
+            "repo": pa.concat_arrays(
+                [repos.column("repo").combine_chunks(), pa.nulls(nu, pa.string())]
+            ),
+            "path": pa.concat_arrays(
+                [repos.column("path").combine_chunks(), pa.nulls(nu, pa.string())]
+            ),
+            "language": pa.concat_arrays(
+                [repos.column("language").combine_chunks(), pa.nulls(nu, pa.string())]
+            ),
+            "stars": pa.concat_arrays(
+                [repos.column("stars").combine_chunks(), pa.nulls(nu, pa.int64())]
+            ),
+            "user_id": pa.concat_arrays(
+                [pa.nulls(nr, pa.string()), users.column("user_id").combine_chunks()]
+            ),
+            "tier": pa.concat_arrays(
+                [pa.nulls(nr, pa.string()), users.column("tier").combine_chunks()]
+            ),
+            "src": pa.concat_arrays(
+                [pa.nulls(nr, pa.string()), users.column("src").combine_chunks()]
+            ),
+        }
+    )
 
 
 def q_cdc_last_state_per_user(sf_dir: str) -> pa.Table:
@@ -1051,6 +1137,7 @@ def q_media_features(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "cdc_replay_repos": q_cdc_replay_repos,
+        "cdc_replay_two_tables": q_cdc_replay_two_tables,
         "cdc_last_state_per_user": q_cdc_last_state_per_user,
         "mongo_fieldwise_state": q_mongo_fieldwise_state,
         "metrics_action_counts": q_metrics_action_counts,
@@ -1121,6 +1208,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM ch
             )
             SELECT repo, path, "commit", lang, content, stars
+            FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # two tables' LWW in one relation: the decoded multi stream's key
+        # embeds the table, so ONE window states both tables; per-table
+        # rule effects (rename lang→language / plan→tier, appended default
+        # src='cdc' on users) are restated column-for-column
+        "cdc_replay_two_tables": f"""
+            WITH ch AS (
+                SELECT * FROM read_parquet('{_MULTI_CHANGES_ORACLE_PATH}/*.parquet')
+            ),
+            ranked AS (
+                SELECT "table", repo, path, lang, stars, user_id, plan, op,
+                       row_number() OVER (
+                           PARTITION BY "key"
+                           ORDER BY gtid DESC, seq_in_txn DESC
+                       ) AS rn
+                FROM ch
+            )
+            SELECT "table" AS src_table, repo, path,
+                   lang AS language, stars, user_id,
+                   plan AS tier,
+                   CASE WHEN "table" = 'users' THEN 'cdc' END AS src
             FROM ranked WHERE rn = 1 AND op <> 'delete'
         """,
         "cdc_last_state_per_user": """

@@ -103,6 +103,47 @@ def _flagship(sf_dir: str) -> dict:
     return {"sec": dt, "events": n_events, "rows": metrics["rows"]}
 
 
+def _two_table(sf_dir: str) -> float:
+    """Multi-table multi-rule single-pass replay: two tables interleaved
+    in one GTID stream, per-table rules, one shared exchange.  The users
+    stream adds ~1/8 of the repos volume (a realistic side table)."""
+    from go_mysql_transfer_ray.pipelines import cdc
+    from go_mysql_transfer_ray.rules import RuleConfig
+    from go_mysql_transfer_ray.sources.binlog import (
+        BinlogConfig,
+        materialize_multi_events,
+    )
+
+    cfg = _bench_binlog_cfg(sf_dir, BENCH_SCALE)
+    ucfg = BinlogConfig(
+        seed=101, num_keys=max(500, cfg.num_keys // 8),
+        avg_events_per_key=4.0, delete_pct=10, bad_arity_permille=5,
+    )
+    events_dir = materialize_multi_events(cfg, ucfg, root=EVENT_ROOT + "_multi",
+                                          shards=64)
+    for f in sorted(os.listdir(events_dir)):
+        with open(os.path.join(events_dir, f), "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+    rules = {
+        "repos": RuleConfig(table="repos", include_columns="repo,path,lang,stars",
+                            column_mappings="lang=language",
+                            primary_keys=("repo", "path")),
+        "users": RuleConfig(table="users", include_columns="user_id,plan",
+                            column_mappings="plan=tier",
+                            default_column_values="src=cdc",
+                            primary_keys=("user_id",)),
+    }
+    out = os.path.join(LAKE_ROOT, f"multi-{cfg.fingerprint()}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    cdc.replay_multi(events_dir, out, rules=rules,
+                     num_partitions=max(64, NUM_CPUS * 4))
+    dt = time.perf_counter() - t0
+    shutil.rmtree(out, ignore_errors=True)
+    return dt
+
+
 def _consume(result) -> int:
     """Fully execute a query result; returns row count."""
     import pandas as pd
@@ -147,6 +188,7 @@ def run_suite() -> dict:
                     pass
     fl = _flagship(SF_DIR)
     timings["cdc_replay_repos"] = round(fl["sec"], 3)
+    timings["cdc_replay_two_tables"] = round(_two_table(SF_DIR), 3)
 
     for name in headline:
         t0 = time.perf_counter()

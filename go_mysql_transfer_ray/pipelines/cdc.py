@@ -473,6 +473,296 @@ def replay(
     }
 
 
+def stream_facts_multi(events_dir: str) -> dict:
+    """Watermark + PER-TABLE DDL positions from pruned reads (the
+    multi-table analogue of ``stream_facts``; DDL rows carry their
+    table, so each table's arity history stays independent)."""
+    files = event_files(events_dir)
+    max_gtid = -1
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        gi = md.schema.to_arrow_schema().get_field_index("gtid")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(gi).statistics
+            if st is not None and st.has_min_max:
+                max_gtid = max(max_gtid, st.max)
+    ddl = (
+        pads.dataset(files)
+        .to_table(columns=["gtid", "table", "ddl"], filter=pc.field("op") == "ddl")
+        .sort_by("gtid")
+    )
+    by_table: dict[str, list[dict]] = {}
+    for g, t, d in zip(
+        ddl.column("gtid").to_pylist(),
+        ddl.column("table").to_pylist(),
+        ddl.column("ddl").to_pylist(),
+    ):
+        by_table.setdefault(t, []).append({"gtid": g, **(d or {})})
+    return {"watermark": max_gtid, "ddl_by_table": by_table}
+
+
+def _stream_tables(events_dir: str) -> list[str]:
+    """Tables carried by the stream, from the generator's meta (fallback:
+    the flagship single table)."""
+    try:
+        from ..sources.binlog import read_meta
+
+        return list(read_meta(events_dir).get("tables") or ["repos"])
+    except (OSError, ValueError):
+        return ["repos"]
+
+
+def replay_multi(
+    events_dir: str,
+    out_dir: str,
+    *,
+    rules: "dict[str, RuleConfig | None] | None" = None,
+    tables: "list[str] | None" = None,
+    num_partitions: int = 64,
+    resume: bool = True,
+    rule_concurrency: "int | tuple[int, int]" = (1, 4),
+    batch_size: int = 65536,
+) -> dict:
+    """Multi-table, multi-rule SINGLE-PASS replay — the reference's core
+    operating mode: N per-table rules over one interleaved binlog
+    (/root/reference/service/transfer_service.go:206-276 registers a
+    rule per concrete table; service/handler.go:83-86 routes each event
+    by ruleKey).
+
+    The stream is read ONCE: a ``MultiDecoder`` routes each event to its
+    table's decode (arity guard / key / DDL coercion), an optional
+    ``MultiRuleEngine`` actor pool applies each table's compiled rule,
+    and every table rides the SAME combiner + storage-shuffle exchange —
+    the merge key embeds table identity, so co-location is per
+    (table, key) with one all-to-all.  Stage B splits each partition by
+    table and writes per-table lakes ``out_dir/<table>/part=NNNNN`` with
+    independent manifests — ``read_lake(out_dir + '/<table>')`` works
+    unchanged, as does per-table resume fencing.
+
+    ``rules``: {table: RuleConfig | None}; tables absent from the dict
+    get the identity projection.  Wildcard rule keys expand via
+    ``rules.expand_rules`` upstream of this call.
+    """
+    from ..schema import TABLE_COLUMNS
+    from ..stages.decode import MultiDecoder
+    from ..stages.merge import keep_last_per_key
+    from ..stages.rule_engine import MultiRuleEngine
+
+    tables = list(tables or _stream_tables(events_dir))
+    rules = dict(rules or {})
+    unknown = set(rules) - set(tables)
+    if unknown:
+        raise ValueError(
+            f"rules reference tables not in the stream: {sorted(unknown)}"
+        )
+
+    facts = stream_facts_multi(events_dir)
+    watermark = facts["watermark"]
+
+    # per-table DDL history: persisted (earlier micro-batches) + in-band
+    ddl_by_table: dict[str, list[dict]] = {}
+    for t in tables:
+        prior = mstate.load_schema(os.path.join(out_dir, t)) if resume else []
+        seen = {d["gtid"] for d in prior}
+        ddl_by_table[t] = sorted(
+            prior
+            + [
+                d
+                for d in facts["ddl_by_table"].get(t, [])
+                if d["gtid"] not in seen
+            ],
+            key=lambda d: d["gtid"],
+        )
+
+    # decode specs + rule specs + final columns, per table
+    decoder_specs: dict[str, dict] = {}
+    rule_specs: dict[str, list[ColumnSpec]] = {}
+    final_cols: dict[str, list[str]] = {}
+    for t in tables:
+        ddls = ddl_by_table[t]
+        ddl_cols = _ddl_columns(ddls)
+        decoder_specs[t] = {
+            "ddl_gtid": [d["gtid"] for d in ddls] or None,
+            "ddl_columns": ddl_cols,
+        }
+        specs = [ColumnSpec(c, "string") for c in TABLE_COLUMNS[t]] + [
+            ColumnSpec(name, mtype) for name, mtype in ddl_cols
+        ]
+        rule_specs[t] = specs
+        rc = rules.get(t)
+        if rc is not None:
+            final_cols[t] = list(RulePlan(rc, specs).output_order)
+        else:
+            final_cols[t] = [s.name for s in specs]
+
+    plan_sig = repr(
+        (
+            sorted((t, rules.get(t)) for t in tables),
+            {t: final_cols[t] for t in sorted(tables)},
+            num_partitions,
+            "multi",
+        )
+    )
+    # run-level markers fence partitions: all tables ride ONE exchange, so
+    # stage B is all-or-nothing per partition — a marker at out_dir level
+    # certifies every table's slice of that partition is durable (a
+    # per-table fence alone can't: a table with zero rows in a partition
+    # writes no per-table manifest there)
+    skip = (
+        mstate.finished_partitions(out_dir, watermark, plan_sig)
+        if resume
+        else frozenset()
+    )
+    if len(skip) >= num_partitions:
+        total = 0
+        for t in tables:
+            total += sum(
+                m["rows"] for m in mstate.load_manifests(os.path.join(out_dir, t)).values()
+            )
+        return {
+            "watermark": watermark,
+            "parts_written": 0,
+            "parts_skipped": len(skip),
+            "rows": total,
+            "resumed": True,
+            "tables": tables,
+        }
+
+    ds = ray.data.read_parquet(event_files(events_dir))
+    ds = ds.map_batches(
+        MultiDecoder(decoder_specs),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    if any(rules.get(t) is not None for t in tables):
+        ds = ds.map_batches(
+            MultiRuleEngine,
+            fn_constructor_args=({t: rules.get(t) for t in tables}, rule_specs),
+            concurrency=rule_concurrency,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        union_cols: list[str] = []
+        for t in tables:
+            for c in final_cols[t]:
+                if c not in union_cols:
+                    union_cols.append(c)
+        ds = ds.select_columns(
+            ["key", "gtid", "seq_in_txn", "op", "table", *union_cols]
+        )
+
+    ds = ds.map_batches(
+        Combiner(num_partitions, skip_parts=skip),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+    shuffle_dir = os.path.join(out_dir, "_shuffle")
+    shfl.prepare_shuffle_dir(
+        shuffle_dir,
+        num_partitions,
+        {"watermark": watermark, "num_partitions": num_partitions, "plan": plan_sig},
+    )
+    ds.map_batches(
+        shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
+    ).sum("_rows")
+
+    def merge_parts(batch: dict) -> dict:
+        out_t, out_p, out_r = [], [], []
+        for p in batch["id"]:
+            p = int(p)
+            if p in skip:
+                continue
+            group = shfl.read_partition_deltas(shuffle_dir, p)
+            if group is None or group.num_rows == 0:
+                continue
+            merged = keep_last_per_key(group)
+            merged = merged.filter(
+                pc.not_equal(merged.column("op"), pa.scalar("delete"))
+            )
+            tcol = merged.column("table")
+            p_rows = 0
+            for t in tables:
+                sub = merged.filter(pc.equal(tcol, pa.scalar(t)))
+                if sub.num_rows == 0:
+                    continue
+                m = mstate.write_partition(
+                    os.path.join(out_dir, t), p,
+                    sub.select(final_cols[t]), watermark, plan=plan_sig,
+                )
+                out_t.append(t)
+                out_p.append(p)
+                out_r.append(m["rows"])
+                p_rows += m["rows"]
+            # the run-level fence, written AFTER every table's slice
+            mstate.write_marker(out_dir, p, watermark, plan_sig, rows=p_rows)
+        return {
+            "table": np.asarray(out_t, dtype=object),
+            "partition": np.asarray(out_p, dtype=np.int32),
+            "rows": np.asarray(out_r, dtype=np.int64),
+        }
+
+    metrics = (
+        ray.data.range(num_partitions, override_num_blocks=num_partitions)
+        .map_batches(merge_parts, batch_size=None)
+        .to_pandas()
+    )
+    all_written: set[int] = (
+        set(int(p) for p in metrics["partition"]) if len(metrics) else set()
+    )
+    for t in tables:
+        written = set(
+            int(p) for p in metrics[metrics["table"] == t]["partition"]
+        ) if len(metrics) else set()
+        mstate.remove_partitions_except(os.path.join(out_dir, t), skip | written)
+        mstate.save_schema(os.path.join(out_dir, t), ddl_by_table[t])
+    # stale run-level markers (older plan / now-empty partitions): markers
+    # have no part dirs at this level, so this only unlinks their JSON
+    mstate.remove_partitions_except(out_dir, skip | all_written)
+    shfl.cleanup(shuffle_dir)
+    return {
+        "watermark": watermark,
+        "parts_written": int(metrics["partition"].nunique()) if len(metrics) else 0,
+        "parts_skipped": len(skip),
+        "rows": int(metrics["rows"].sum()) if len(metrics) else 0,
+        "resumed": bool(skip),
+        "tables": tables,
+        "rows_by_table": {
+            t: int(metrics[metrics["table"] == t]["rows"].sum()) if len(metrics) else 0
+            for t in tables
+        },
+    }
+
+
+def write_decoded_changes_multi(events_dir: str, out_path: str) -> str:
+    """Decoded MULTI-TABLE change stream → Parquet relation for external
+    oracles (union schema + ``table`` column; the per-table LWW is then
+    statable in SQL partitioned by ``key``, which embeds the table)."""
+    import shutil
+
+    from ..schema import TABLE_COLUMNS
+    from ..stages.decode import MultiDecoder
+
+    tables = _stream_tables(events_dir)
+    facts = stream_facts_multi(events_dir)
+    decoder_specs = {}
+    for t in tables:
+        ddls = sorted(facts["ddl_by_table"].get(t, []), key=lambda d: d["gtid"])
+        decoder_specs[t] = {
+            "ddl_gtid": [d["gtid"] for d in ddls] or None,
+            "ddl_columns": _ddl_columns(ddls),
+        }
+    ds = ray.data.read_parquet(event_files(events_dir))
+    ds = ds.map_batches(MultiDecoder(decoder_specs), batch_format="pyarrow")
+    tmp = out_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.rename(tmp, out_path)
+    return out_path
+
+
 def write_decoded_changes(events_dir: str, out_path: str) -> str:
     """Decoded change stream → Parquet relation for external oracles.
 

@@ -23,21 +23,46 @@ TABLE_NAME = "repos"
 # Base lake-table columns, per BASELINE.json input_hint.
 BASE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
 
+# Source tables a binlog stream can carry (the reference syncs N tables
+# through one stream, each with its own rule:
+# /root/reference/service/transfer_service.go:206-276).  ``repos`` is the
+# flagship input_hint table; ``users`` is the second table for the
+# multi-table single-pass replay.
+TABLE_COLUMNS: "dict[str, list[str]]" = {
+    "repos": BASE_COLUMNS,
+    "users": ["user_id", "name", "email", "plan"],
+}
+TABLE_PKS: "dict[str, tuple[str, ...]]" = {
+    "repos": ("repo", "path"),
+    "users": ("user_id",),
+}
+
+
 # Row image carried by every change event.  DDL-added columns (default:
 # one mid-stream ``stars``) are string-typed here (raw binlog bytes) and
-# null for events before their ALTER.
-def row_image_type(ddl_columns: "tuple[str, ...]" = ("stars",)) -> pa.StructType:
-    return pa.struct(
-        [(c, pa.string()) for c in BASE_COLUMNS]
-        + [(c, pa.string()) for c in ddl_columns]
-    )
+# null for events before their ALTER.  With multiple ``tables`` the image
+# is the UNION of the tables' columns (a row fills only its own table's
+# fields — nulls elsewhere cost one validity bit in Arrow / nothing in
+# Parquet), so a mixed stream stays ONE typed schema end-to-end.
+def row_image_type(
+    ddl_columns: "tuple[str, ...]" = ("stars",),
+    tables: "tuple[str, ...]" = ("repos",),
+) -> pa.StructType:
+    fields = [(c, pa.string()) for c in TABLE_COLUMNS[tables[0]]]
+    fields += [(c, pa.string()) for c in ddl_columns]
+    for t in tables[1:]:
+        fields += [(c, pa.string()) for c in TABLE_COLUMNS[t]]
+    return pa.struct(fields)
 
 
 DDL_TYPE = pa.struct([("add_column", pa.string()), ("arrow_type", pa.string())])
 
 
-def event_schema(ddl_columns: "tuple[str, ...]" = ("stars",)) -> pa.Schema:
-    img = row_image_type(ddl_columns)
+def event_schema(
+    ddl_columns: "tuple[str, ...]" = ("stars",),
+    tables: "tuple[str, ...]" = ("repos",),
+) -> pa.Schema:
+    img = row_image_type(ddl_columns, tables)
     return pa.schema(
         [
             ("gtid", pa.int64()),        # transaction id (GTID analogue)

@@ -44,7 +44,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..schema import DDL_TYPE, EVENT_SCHEMA, ROW_IMAGE_TYPE, TABLE_NAME, event_schema
+from ..schema import (
+    DDL_TYPE,
+    EVENT_SCHEMA,
+    ROW_IMAGE_TYPE,
+    TABLE_COLUMNS,
+    TABLE_NAME,
+    event_schema,
+)
 
 _U64 = np.uint64
 _P1 = _U64(0x9E3779B97F4A7C15)
@@ -242,6 +249,35 @@ def _feistel(e: np.ndarray, n_total: int, seed: int) -> np.ndarray:
     return y.astype(np.int64)
 
 
+OP_INS, OP_UPD, OP_DEL = 0, 1, 2
+
+
+def _op_chain(seed: int, delete_pct: int, key_idx: np.ndarray,
+              ordinal: np.ndarray, starts: np.ndarray, c: np.ndarray):
+    """Per-key op chain + row-image versions, shared by all table
+    generators: insert first; delete runs alternate delete/re-insert;
+    updates reference the previous alive version as BEFORE."""
+    n = len(key_idx)
+    d = (_h(seed, 32, key_idx, ordinal) % _U64(100)).astype(np.int64) < delete_pct
+    d &= ordinal > 0
+    d_prev = np.concatenate([[False], d[:-1]]) & (ordinal > 0)
+    runstart = d & ~d_prev
+    idx = np.arange(n, dtype=np.int64)
+    last_start = np.maximum.accumulate(np.where(runstart, idx, -1))
+    runpos = idx - last_start
+    f_del = d & (runpos % 2 == 0)
+    prev_del = np.concatenate([[False], f_del[:-1]]) & (ordinal > 0)
+    op = np.where(
+        ordinal == 0, OP_INS, np.where(f_del, OP_DEL, np.where(prev_del, OP_INS, OP_UPD))
+    ).astype(np.int8)
+    nondel = (op != OP_DEL).astype(np.int64)
+    cs = np.cumsum(nondel)
+    base = np.repeat(cs[starts] - nondel[starts], c)
+    ver = cs - base - 1  # for DEL rows: version of the last alive image
+    before_ver = np.where(op == OP_UPD, ver - 1, ver)
+    return op, ver, before_ver
+
+
 def generate_shard(
     cfg: BinlogConfig,
     k0: int,
@@ -251,6 +287,7 @@ def generate_shard(
     n_total: int,
     p0: "int | None" = None,
     ddl_bounds: "list[tuple[int, str, str]] | None" = None,
+    tables: "tuple[str, ...]" = ("repos",),
 ) -> "tuple[pa.Table, int]":
     """Events of keys [k0, k1) as one Arrow table (+ bad-arity count).
 
@@ -258,6 +295,8 @@ def generate_shard(
     ``n_total``: global stream size; ``ddl_bounds``: [(pos, column,
     arrow_type), ...] sorted — each ALTER widens the arity by one and
     occupies its own transaction.  ``p0`` is the legacy single-DDL form.
+    ``tables``: all tables sharing the stream's union row image (this
+    shard emits only ``repos`` rows; other tables' fields ride as null).
     Output is sorted by ``pos`` within the shard; global order across
     shards is defined by ``pos`` alone.
     """
@@ -275,26 +314,9 @@ def generate_shard(
     starts = np.concatenate([[0], np.cumsum(c)[:-1]])
     ordinal = np.arange(n, dtype=np.int64) - np.repeat(starts, c)
 
-    # --- op chain: insert first; delete runs alternate delete/re-insert ---
-    d = (_h(cfg.seed, 32, key_idx, ordinal) % _U64(100)).astype(np.int64) < cfg.delete_pct
-    d &= ordinal > 0
-    d_prev = np.concatenate([[False], d[:-1]]) & (ordinal > 0)
-    runstart = d & ~d_prev
-    idx = np.arange(n, dtype=np.int64)
-    last_start = np.maximum.accumulate(np.where(runstart, idx, -1))
-    runpos = idx - last_start
-    f_del = d & (runpos % 2 == 0)
-    prev_del = np.concatenate([[False], f_del[:-1]]) & (ordinal > 0)
-    OP_INS, OP_UPD, OP_DEL = 0, 1, 2
-    op = np.where(
-        ordinal == 0, OP_INS, np.where(f_del, OP_DEL, np.where(prev_del, OP_INS, OP_UPD))
-    ).astype(np.int8)
-
-    # --- content versions -------------------------------------------------
-    nondel = (op != OP_DEL).astype(np.int64)
-    cs = np.cumsum(nondel)
-    base = np.repeat(cs[starts] - nondel[starts], c)
-    ver = cs - base - 1  # for DEL rows: version of the last alive image
+    op, ver, _before_ver = _op_chain(
+        cfg.seed, cfg.delete_pct, key_idx, ordinal, starts, c
+    )
 
     # --- global stream slots via Feistel (shard-independent) --------------
     e = e_offset + np.arange(n, dtype=np.int64)
@@ -320,7 +342,7 @@ def generate_shard(
     has_before = op != OP_INS
 
     after_ver = ver
-    before_ver = np.where(op == OP_UPD, ver - 1, ver)
+    before_ver = _before_ver
 
     # --- arity ------------------------------------------------------------
     col_count = (5 + n_ddls_before).astype(np.int32)
@@ -339,7 +361,7 @@ def generate_shard(
     lang_g = pa.array(lang_e[g], type=pa.string())
     pos_g = pos[g]
     ddl_names = tuple(b[1] for b in ddl_bounds)
-    schema = event_schema(ddl_names)
+    schema = event_schema(ddl_names, tables)
     image_type = schema.field("after").type
 
     def _img(mask, vers):
@@ -372,6 +394,9 @@ def generate_shard(
             fields.append(
                 pc.if_else(present, pa.array(vals, type=pa.string()), null_s)
             )
+        # other tables' union-image fields: null for repos rows
+        for f in list(image_type)[len(fields):]:
+            fields.append(pa.nulls(len(m), f.type))
         return pa.StructArray.from_arrays(
             fields, fields=list(image_type), mask=pa.array(~m)
         )
@@ -398,10 +423,11 @@ def generate_shard(
 def _ddl_row(
     cfg: BinlogConfig, bound: "tuple[int, str, str]", ddl_index: int,
     ddl_names: "tuple[str, ...]",
+    tables: "tuple[str, ...]" = ("repos",),
 ) -> pa.Table:
     """One in-band DDL event (its own transaction at its boundary)."""
     p, name, atype = bound
-    schema = event_schema(ddl_names)
+    schema = event_schema(ddl_names, tables)
     image_type = schema.field("after").type
     return pa.table(
         {
@@ -463,10 +489,10 @@ def generate(cfg: BinlogConfig) -> GeneratedStream:
     )
 
 
-def _shard_key_ranges(cfg: BinlogConfig, shards: int):
+def _shard_key_ranges(cfg: BinlogConfig, shards: int, counts_fn=None):
     """Split the key space into ≤``shards`` contiguous ranges of roughly
     equal EVENT count; returns [(k0, k1, e_offset), ...]."""
-    c = _key_counts(cfg, np.arange(cfg.num_keys, dtype=np.int64))
+    c = (counts_fn or _key_counts)(cfg, np.arange(cfg.num_keys, dtype=np.int64))
     cum = np.cumsum(c)
     n = int(cum[-1])
     targets = (np.arange(1, shards) * n) // shards
@@ -570,3 +596,252 @@ def materialize_events(
 def read_meta(events_dir: str) -> dict:
     with open(os.path.join(events_dir, "_meta.json")) as f:
         return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# multi-table stream: a second table ("users") interleaved in the SAME
+# GTID stream.  The reference's normal operating mode is N tables riding
+# one binlog, each event routed to its table's rule
+# (/root/reference/service/transfer_service.go:206-276 builds a rule per
+# concrete table; service/handler.go:83-86 routes by ruleKey).  The two
+# tables share one global slot bijection (the Feistel over the COMBINED
+# event count), so their transactions genuinely interleave — a gtid may
+# contain both tables' rows, exactly like a real binlog.
+
+USERS_TABLE = "users"
+_PLANS = ["free", "pro", "team", "enterprise"]
+
+
+def _user_key_counts(ucfg: BinlogConfig, keys: np.ndarray) -> np.ndarray:
+    avg_extra = max(ucfg.avg_events_per_key - 1.0, 0.0)
+    span = max(int(round(2 * avg_extra)), 0)
+    extra = (
+        (_h(ucfg.seed, 61, keys) % _U64(span + 1)).astype(np.int64)
+        if span
+        else np.zeros(len(keys), dtype=np.int64)
+    )
+    return 1 + extra
+
+
+def users_stream_size(ucfg: BinlogConfig) -> int:
+    return int(
+        _user_key_counts(ucfg, np.arange(ucfg.num_keys, dtype=np.int64)).sum()
+    )
+
+
+def generate_users_shard(
+    ucfg: BinlogConfig,
+    k0: int,
+    k1: int,
+    *,
+    e_offset: int,
+    n_total: int,
+    ddl_bounds: "list[tuple[int, str, str]]",
+    stream: BinlogConfig,
+    tables: "tuple[str, ...]" = ("repos", "users"),
+) -> "tuple[pa.Table, int]":
+    """users-table events for key range [k0, k1): union image schema with
+    the users fields populated and all repos/DDL fields null.
+
+    ``stream`` carries the GLOBAL stream parameters (Feistel seed, txn
+    size, base ts) shared with the repos shards — one bijection over the
+    combined slot range is what interleaves the two tables.  users has a
+    fixed arity of 4 (no DDL ever widens it); the repos ALTERs still
+    shift its gtids (they occupy global transactions)."""
+    bound_pos = np.array([b[0] for b in ddl_bounds], dtype=np.int64)
+    keys = np.arange(k0, k1, dtype=np.int64)
+    c = _user_key_counts(ucfg, keys)
+    n = int(c.sum())
+    key_idx = np.repeat(keys, c)
+    starts = np.concatenate([[0], np.cumsum(c)[:-1]])
+    ordinal = np.arange(n, dtype=np.int64) - np.repeat(starts, c)
+    op, ver, before_ver = _op_chain(
+        ucfg.seed, ucfg.delete_pct, key_idx, ordinal, starts, c
+    )
+
+    e = e_offset + np.arange(n, dtype=np.int64)
+    pos_raw = _feistel(e, n_total, stream.seed)
+    assign = np.lexsort((pos_raw, key_idx))
+    pos = pos_raw[assign]
+    n_ddls_before = np.searchsorted(bound_pos, pos, side="right").astype(np.int64)
+    gtid = pos // stream.txn_size + n_ddls_before
+    seq = (pos % stream.txn_size).astype(np.int32)
+    ts = stream.base_ts + pos
+
+    width = len(TABLE_COLUMNS[USERS_TABLE])
+    col_count = np.full(n, width, dtype=np.int32)
+    bad = np.zeros(n, dtype=bool)
+    if ucfg.bad_arity_permille:
+        bad = (_h(ucfg.seed, 63, key_idx, ordinal) % _U64(1000)) < _U64(
+            ucfg.bad_arity_permille
+        )
+        col_count = np.where(bad, col_count + 1, col_count)
+
+    g = np.argsort(pos, kind="stable")
+    keys_g = key_idx[g]
+    ddl_names = tuple(b[1] for b in ddl_bounds)
+    schema = event_schema(ddl_names, tables)
+    image_type = schema.field("after").type
+    n_prefix = len(TABLE_COLUMNS[tables[0]]) + len(ddl_bounds)
+    uid_g = np.char.mod("u%06d", keys_g)
+    name_g = np.char.add("user-", np.char.mod("%06d", keys_g))
+
+    def _img(mask: np.ndarray, vers: np.ndarray) -> pa.StructArray:
+        m = mask[g]
+        m_pa = pa.array(m)
+        v = vers[g]
+        dom = (_h(ucfg.seed, 64, keys_g, v) % _U64(5)).astype(np.int64)
+        email = np.char.add(
+            np.char.add(np.char.mod("u%d", keys_g), np.char.mod(".v%d", v)),
+            np.char.mod("@mail%d.example", dom),
+        )
+        plan_i = (_h(ucfg.seed, 65, keys_g, v) % _U64(len(_PLANS))).astype(np.int64)
+        plan = np.array(_PLANS, dtype=object)[plan_i]
+        null_s = pa.scalar(None, pa.string())
+        fields: list = [
+            pa.nulls(len(m), f.type) for f in list(image_type)[:n_prefix]
+        ]
+        for vals in (uid_g, name_g, email, plan):
+            fields.append(
+                pc.if_else(
+                    m_pa, pa.array(vals.astype(object), type=pa.string()), null_s
+                )
+            )
+        return pa.StructArray.from_arrays(
+            fields, fields=list(image_type), mask=pa.array(~m)
+        )
+
+    op_str = np.array(["insert", "update", "delete"], dtype=object)[op[g]]
+    tbl = pa.table(
+        {
+            "gtid": pa.array(gtid[g], type=pa.int64()),
+            "seq_in_txn": pa.array(seq[g], type=pa.int32()),
+            "pos": pa.array(pos[g], type=pa.int64()),
+            "op": pa.array(op_str, type=pa.string()),
+            "table": pa.array(np.full(n, USERS_TABLE, dtype=object), type=pa.string()),
+            "ts": pa.array(ts[g], type=pa.timestamp("s")),
+            "col_count": pa.array(col_count[g], type=pa.int32()),
+            "before": _img(op != OP_INS, before_ver),
+            "after": _img(op != OP_DEL, ver),
+            "ddl": pa.array([None] * n, type=DDL_TYPE),
+        },
+        schema=schema,
+    )
+    return tbl, int(bad.sum())
+
+
+def _write_multi_shard(
+    kind: str,
+    cfg: BinlogConfig,
+    ucfg: BinlogConfig,
+    k0: int,
+    k1: int,
+    e_offset: int,
+    n_total: int,
+    ddl_bounds: "list[tuple[int, str, str]]",
+    path: str,
+    include_ddl: bool,
+    tables: "tuple[str, ...]",
+) -> "tuple[int, int]":
+    if kind == "repos":
+        tbl, n_bad = generate_shard(
+            cfg, k0, k1, e_offset=e_offset, n_total=n_total,
+            ddl_bounds=ddl_bounds, tables=tables,
+        )
+    else:
+        tbl, n_bad = generate_users_shard(
+            ucfg, k0, k1, e_offset=e_offset, n_total=n_total,
+            ddl_bounds=ddl_bounds, stream=cfg, tables=tables,
+        )
+    if include_ddl:
+        names = tuple(b[1] for b in ddl_bounds)
+        tbl = pa.concat_tables(
+            [*(_ddl_row(cfg, b, i, names, tables) for i, b in enumerate(ddl_bounds)), tbl]
+        )
+    pq.write_table(tbl, path)
+    return tbl.num_rows, n_bad
+
+
+def materialize_multi_events(
+    cfg: BinlogConfig,
+    ucfg: BinlogConfig,
+    root: str = "/tmp/gmt_ray_multi_events",
+    shards: int = 16,
+) -> str:
+    """Generate (once) and cache a TWO-TABLE interleaved stream.
+
+    ``cfg`` drives the repos table and the global stream parameters
+    (seed, txn size, DDL fractions); ``ucfg`` drives the users table.
+    Shard files mix freely in one directory — global order is the shared
+    ``pos`` slot space, exactly as in ``materialize_events``."""
+    out = os.path.join(
+        root, f"{cfg.fingerprint()}-{ucfg.fingerprint()}-s{shards}"
+    )
+    meta_path = os.path.join(out, "_meta.json")
+    if os.path.exists(meta_path):
+        return out
+    tables = ("repos", USERS_TABLE)
+    n_a = stream_size(cfg)
+    n_b = users_stream_size(ucfg)
+    n_total = n_a + n_b
+    bounds = _ddl_bounds(cfg, n_total)
+    sh_a = max(1, min(shards - 1, round(shards * n_a / n_total))) if shards > 1 else 1
+    sh_b = max(1, shards - sh_a)
+    ranges_a, _ = _shard_key_ranges(cfg, sh_a)
+    ranges_b, _ = _shard_key_ranges(ucfg, sh_b, _user_key_counts)
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    jobs = []
+    i = 0
+    for k0, k1, e_off in ranges_a:
+        jobs.append(("repos", k0, k1, e_off,
+                     os.path.join(tmp, f"events-{i:05d}.parquet"), i == 0))
+        i += 1
+    for k0, k1, e_off in ranges_b:
+        # users slots live after the repos block in the combined index
+        jobs.append(("users", k0, k1, n_a + e_off,
+                     os.path.join(tmp, f"events-{i:05d}.parquet"), False))
+        i += 1
+
+    import ray
+
+    if ray.is_initialized() and len(jobs) > 1:
+        task = ray.remote(num_cpus=1)(_write_multi_shard)
+        results = ray.get(
+            [
+                task.remote(kind, cfg, ucfg, k0, k1, e_off, n_total, bounds,
+                            path, ddl, tables)
+                for kind, k0, k1, e_off, path, ddl in jobs
+            ]
+        )
+    else:
+        results = [
+            _write_multi_shard(kind, cfg, ucfg, k0, k1, e_off, n_total,
+                               bounds, path, ddl, tables)
+            for kind, k0, k1, e_off, path, ddl in jobs
+        ]
+    with open(os.path.join(tmp, "_meta.json"), "w") as f:
+        json.dump(
+            {
+                "config": asdict(cfg),
+                "users_config": asdict(ucfg),
+                "tables": list(tables),
+                "ddl_bounds": bounds,
+                "num_change_events": n_total,
+                "num_repos_events": n_a,
+                "num_users_events": n_b,
+                "num_bad_arity": sum(r[1] for r in results),
+            },
+            f,
+        )
+    try:
+        os.replace(tmp, out)
+    except OSError:
+        if os.path.exists(meta_path):
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            raise
+    return out

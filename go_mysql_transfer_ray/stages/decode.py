@@ -25,27 +25,55 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..schema import TABLE_NAME
+from ..schema import TABLE_COLUMNS, TABLE_NAME, TABLE_PKS
 
 BASE_WIDTH = 5
+_KEY_SEP = "\x00"  # table identity embedded in the multi-table merge key
 
 
-def decode_batch(
+def _coerce_ddl(raw: pa.Array, mtype: str) -> pa.Array:
+    """DDL-added columns arrive as raw strings; coerce per declared type —
+    NUMBER: digits-only check then cast, unparsable → null
+    (endpoint.go:180-197); FLOAT: same with a float pattern; else string."""
+    if mtype == "number":
+        ok = pc.match_substring_regex(raw, r"^-?[0-9]+$")
+        return pc.cast(
+            pc.if_else(pc.fill_null(ok, False), raw, pa.scalar(None, pa.string())),
+            pa.int64(),
+        )
+    if mtype == "float":
+        ok = pc.match_substring_regex(
+            raw, r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+        )
+        return pc.cast(
+            pc.if_else(pc.fill_null(ok, False), raw, pa.scalar(None, pa.string())),
+            pa.float64(),
+        )
+    return raw
+
+
+def decode_table_batch(
     batch: pa.Table,
     *,
-    table: str = TABLE_NAME,
+    table: str,
+    columns: "tuple[str, ...]",
+    pk_columns: "tuple[str, ...]",
+    base_width: "int | None" = None,
     ddl_gtid: "int | list[int] | None" = None,
     keep_before: bool = False,
-    ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),),
+    ddl_columns: "tuple[tuple[str, str], ...]" = (),
 ) -> pa.Table:
-    """Decode one Arrow batch of raw events into flat change rows.
+    """Decode ONE table's rows out of a (possibly mixed) event batch.
 
-    ``ddl_gtid``: gtid(s) of the stream's ALTERs (None = no DDL) — each
-    one widens the expected arity by one column for rows after it.  DDL
-    rows themselves are dropped here (their effect is carried via
-    ``ddl_gtid``, extracted by a cheap pruned pre-read in the pipeline
-    driver — see pipelines/cdc.py).
+    ``columns``/``pk_columns``: the table's base payload columns and its
+    primary key (composite key = separator-less concat,
+    endpoint.go:309-322).  ``ddl_gtid``: gtid(s) of the table's ALTERs
+    (None = no DDL) — each one widens the expected arity by one column
+    for rows after it.  DDL rows themselves are dropped here (their
+    effect is carried via ``ddl_gtid``, extracted by a cheap pruned
+    pre-read in the pipeline driver — see pipelines/cdc.py).
     """
+    width = base_width if base_width is not None else len(columns)
     op = batch.column("op")
     keep = pc.and_(
         pc.equal(batch.column("table"), pa.scalar(table)),
@@ -61,13 +89,13 @@ def decode_batch(
         ddl_gtids = sorted(ddl_gtid)
     if not ddl_gtids:
         arity_ok = pc.equal(
-            batch.column("col_count"), pa.scalar(BASE_WIDTH, pa.int32())
+            batch.column("col_count"), pa.scalar(width, pa.int32())
         )
     else:
         gtid = batch.column("gtid").to_numpy(zero_copy_only=False)
         # no change event shares a DDL's transaction, so strict < counts
         # the ALTERs already applied at each row's position
-        expected = BASE_WIDTH + np.searchsorted(
+        expected = width + np.searchsorted(
             np.asarray(ddl_gtids, dtype=np.int64), gtid, side="left"
         ).astype(np.int32)
         arity_ok = pc.equal(
@@ -90,10 +118,14 @@ def decode_batch(
         b = pc.struct_field(before, name)
         return pc.if_else(is_del, b, a)
 
-    repo = field("repo")
-    path = field("path")
+    payload = {c: field(c) for c in columns}
     # composite key: separator-less concat (endpoint.go:309-322)
-    key = pc.binary_join_element_wise(repo, path, "")
+    pk_parts = [payload[c] for c in pk_columns]
+    key = (
+        pc.binary_join_element_wise(*pk_parts, "")
+        if len(pk_parts) > 1
+        else pk_parts[0]
+    )
 
     cols = {
         "gtid": t.column("gtid"),
@@ -102,36 +134,34 @@ def decode_batch(
         "op": op,
         "ts": t.column("ts"),
         "key": key,
-        "repo": repo,
-        "path": path,
-        "commit": field("commit"),
-        "lang": field("lang"),
-        "content": field("content"),
+        **payload,
     }
-    # DDL-added columns arrive as raw strings; coerce per declared type —
-    # NUMBER: digits-only check then cast, unparsable → null
-    # (endpoint.go:180-197); FLOAT: same with a float pattern; else string.
     for name, mtype in ddl_columns:
-        raw = field(name)
-        if mtype == "number":
-            ok = pc.match_substring_regex(raw, r"^-?[0-9]+$")
-            cols[name] = pc.cast(
-                pc.if_else(pc.fill_null(ok, False), raw, pa.scalar(None, pa.string())),
-                pa.int64(),
-            )
-        elif mtype == "float":
-            ok = pc.match_substring_regex(
-                raw, r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
-            )
-            cols[name] = pc.cast(
-                pc.if_else(pc.fill_null(ok, False), raw, pa.scalar(None, pa.string())),
-                pa.float64(),
-            )
-        else:
-            cols[name] = raw
+        cols[name] = _coerce_ddl(field(name), mtype)
     if keep_before:
         cols["before"] = before
     return pa.table(cols)
+
+
+def decode_batch(
+    batch: pa.Table,
+    *,
+    table: str = TABLE_NAME,
+    ddl_gtid: "int | list[int] | None" = None,
+    keep_before: bool = False,
+    ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),),
+) -> pa.Table:
+    """Single-table (repos) decode — the flagship path."""
+    return decode_table_batch(
+        batch,
+        table=table,
+        columns=tuple(TABLE_COLUMNS[TABLE_NAME]),
+        pk_columns=TABLE_PKS[TABLE_NAME],
+        base_width=BASE_WIDTH,
+        ddl_gtid=ddl_gtid,
+        keep_before=keep_before,
+        ddl_columns=ddl_columns,
+    )
 
 
 class Decoder:
@@ -150,3 +180,90 @@ class Decoder:
             batch, table=self.table, ddl_gtid=self.ddl_gtid,
             keep_before=self.keep_before, ddl_columns=self.ddl_columns,
         )
+
+
+def _ddl_arrow_type(mtype: str) -> pa.DataType:
+    return {"number": pa.int64(), "float": pa.float64()}.get(mtype, pa.string())
+
+
+class MultiDecoder:
+    """Multi-table routing decoder — ONE map stage over a MIXED stream.
+
+    The reference registers a rule per concrete table and routes every
+    event by its ruleKey (/root/reference/service/transfer_service.go:
+    206-276, service/handler.go:83-86); here the router is a
+    ``{table → (columns, pks, ddl state)}`` map consulted vectorized:
+    each batch is filtered per table, decoded with that table's arity
+    guard / key / DDL coercions, null-padded to the UNION of all tables'
+    decoded columns, and concatenated.  The merge key embeds the table
+    (``<table>\\x00<pk concat>``) so ONE downstream exchange serves every
+    table in a single pass.
+
+    ``table_specs``: {table: {"columns": tuple, "pk_columns": tuple,
+    "ddl_gtid": list|None, "ddl_columns": ((name, mtype), ...)}}.
+    Tables default their columns/pks from schema.TABLE_COLUMNS/TABLE_PKS.
+    """
+
+    def __init__(self, table_specs: "dict[str, dict]", keep_before: bool = False):
+        self.specs: dict[str, dict] = {}
+        union: dict[str, pa.DataType] = {}
+        for table, spec in table_specs.items():
+            columns = tuple(spec.get("columns") or TABLE_COLUMNS[table])
+            pks = tuple(spec.get("pk_columns") or TABLE_PKS[table])
+            ddl_columns = tuple(spec.get("ddl_columns") or ())
+            self.specs[table] = {
+                "columns": columns,
+                "pk_columns": pks,
+                "ddl_gtid": spec.get("ddl_gtid"),
+                "ddl_columns": ddl_columns,
+            }
+            for c in columns:
+                self._claim(union, c, pa.string(), table)
+            for name, mtype in ddl_columns:
+                self._claim(union, name, _ddl_arrow_type(mtype), table)
+        self.union_payload = union  # name -> type, first-seen order
+        self.keep_before = keep_before
+
+    @staticmethod
+    def _claim(union: dict, name: str, typ: pa.DataType, table: str) -> None:
+        if name in union and union[name] != typ:
+            raise ValueError(
+                f"column {name!r} of table {table!r} conflicts with an "
+                f"earlier table's type ({union[name]} vs {typ}) in the "
+                "union decode schema"
+            )
+        union.setdefault(name, typ)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for table, spec in self.specs.items():
+            t = decode_table_batch(
+                batch,
+                table=table,
+                columns=spec["columns"],
+                pk_columns=spec["pk_columns"],
+                ddl_gtid=spec["ddl_gtid"],
+                ddl_columns=spec["ddl_columns"],
+                keep_before=self.keep_before,
+            )
+            n = t.num_rows
+            cols = {
+                "gtid": t.column("gtid"),
+                "seq_in_txn": t.column("seq_in_txn"),
+                "pos": t.column("pos"),
+                "op": t.column("op"),
+                "ts": t.column("ts"),
+                "table": pa.array([table] * n, pa.string()),
+                "key": pc.binary_join_element_wise(
+                    pa.scalar(table), t.column("key"), _KEY_SEP
+                ),
+            }
+            for name, typ in self.union_payload.items():
+                if name in t.column_names:
+                    cols[name] = t.column(name)
+                else:
+                    cols[name] = pa.nulls(n, typ)
+            if self.keep_before:
+                cols["before"] = t.column("before")
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs, promote_options="default")

@@ -56,6 +56,93 @@ class UdfContext:
     db: Any = None    # DbOps (T4); broadcast-dict lookup join
 
 
+class MultiRuleEngine:
+    """map_batches actor: N per-table RulePlans over ONE mixed stream.
+
+    The reference compiles a rule per concrete table and its handler
+    routes each event to its table's rule
+    (/root/reference/service/transfer_service.go:206-276,
+    service/handler.go:83-86).  Here the batch (already decoded by
+    stages.decode.MultiDecoder, carrying a ``table`` column) is split per
+    table, each slice transformed vectorized by that table's compiled
+    plan, and re-concatenated onto the UNION of the plans' output
+    columns (null-padded) — so the stream stays ONE schema through the
+    shared merge exchange.  Plans compile once per actor.
+
+    ``configs``: {table: RuleConfig | None} — None means identity
+    projection of the table's decoded columns.  ``specs``: {table:
+    list[ColumnSpec]} describing each table's decoded payload columns.
+    """
+
+    _META = ("key", "gtid", "seq_in_txn", "op", "table")
+
+    def __init__(
+        self,
+        configs: "dict[str, RuleConfig | None]",
+        specs: "dict[str, list[ColumnSpec]]",
+    ):
+        self.plans: dict[str, RulePlan | None] = {}
+        union: dict[str, pa.DataType] = {}
+        self._outputs: dict[str, list[str]] = {}
+        for table, cfg in configs.items():
+            cols = specs[table]
+            if cfg is None:
+                self.plans[table] = None
+                out_names = [c.name for c in cols]
+            else:
+                plan = RulePlan(cfg, cols)
+                self.plans[table] = plan
+                out_names = list(plan.output_order)
+            self._outputs[table] = out_names
+        self._union_names: list[str] = []
+        seen: set[str] = set()
+        for table, names in self._outputs.items():
+            for n in names:
+                if n not in seen:
+                    seen.add(n)
+                    self._union_names.append(n)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tcol = batch.column("table")
+        projected: dict[str, pa.Table] = {}
+        metas: dict[str, dict] = {}
+        for table, plan in self.plans.items():
+            sub = batch.filter(pc.equal(tcol, pa.scalar(table)))
+            metas[table] = {
+                n: sub.column(n) for n in self._META if n in sub.column_names
+            }
+            if plan is None:
+                projected[table] = sub.select(
+                    [c for c in self._outputs[table] if c in sub.column_names]
+                )
+            else:
+                projected[table] = plan.apply(sub)
+        # union column types come from whichever table produces the column
+        # (typed, e.g. int64 stars); other tables pad with typed nulls
+        types: dict[str, pa.DataType] = {}
+        for p in projected.values():
+            for f in p.schema:
+                prev = types.get(f.name)
+                if prev is not None and prev != f.type:
+                    raise ValueError(
+                        f"rule output column {f.name!r} has conflicting "
+                        f"types across tables: {prev} vs {f.type}"
+                    )
+                types[f.name] = f.type
+        outs = []
+        for table, p in projected.items():
+            cols = dict(metas[table])
+            for name in self._union_names:
+                if name in p.column_names:
+                    cols[name] = p.column(name)
+                else:
+                    cols[name] = pa.nulls(p.num_rows, types.get(name, pa.string()))
+            outs.append(pa.table(cols))
+        return pa.concat_tables(outs, promote_options="default")
+
+
 class RuleEngine:
     """map_batches actor: vectorized rule application (+ optional UDF).
 

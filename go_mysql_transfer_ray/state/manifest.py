@@ -66,6 +66,32 @@ def write_partition(
     return m
 
 
+def write_marker(
+    out_dir: str, part: int, gtid_watermark: int, plan: str = "", rows: int = 0
+) -> dict:
+    """Manifest WITHOUT a data file — used by the multi-table replay as a
+    run-level fence: the partition's per-table slices live under each
+    table's own lake dir; this marker records that the shared exchange
+    converged partition ``part`` at the watermark (a table with zero rows
+    in the partition gets no per-table manifest, so per-table fences
+    alone could never cover every partition)."""
+    m = {
+        "partition": part,
+        "gtid_watermark": int(gtid_watermark),
+        "file": None,
+        "rows": int(rows),
+        "plan": plan,
+    }
+    mdir = manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"part-{part:05d}.json")
+    tmpm = mpath + ".tmp"
+    with open(tmpm, "w") as f:
+        json.dump(m, f)
+    os.replace(tmpm, mpath)
+    return m
+
+
 def load_manifests(out_dir: str) -> dict[int, dict]:
     mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):
