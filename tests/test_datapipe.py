@@ -323,6 +323,16 @@ def test_attach_payload_reduce_side_path(monkeypatch):
     cl2 = dict(zip(out2["doc_id"], out2["cluster_id"]))
     assert cl2[200] == cl2[4] == 4 and cl2[5] == 5
 
+    # embedding_dedup's vector attach takes the same big-side path
+    import pandas as pd
+
+    tab = ray.data.read_parquet(f"{SF}/embeddings.parquet").to_pandas().head(40)
+    dup = tab.iloc[[0]].assign(vec_id=999)
+    eds = ray.data.from_pandas(pd.concat([tab, dup], ignore_index=True))
+    out3 = datapipe.embedding_dedup(eds, threshold=0.999).to_pandas()
+    assert ((out3["a"] == 0) & (out3["b"] == 999)).any()
+    assert (out3["cosine"] >= 0.999).all()
+
 
 def test_short_doc_shingles_batch_independent():
     """A short doc's shingle hash must not depend on the following doc
