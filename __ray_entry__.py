@@ -749,17 +749,105 @@ def q_fingerprints(sf_dir: str):
     return datapipe.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
 
 
+_SKETCH_ORACLE_ROOT = "/tmp/gmt_oracle_changes"
+
+
+def _write_rel(ds: "ray.data.Dataset", name: str) -> str:
+    """Write an oracle-support relation as a Parquet dir (tmp + rename,
+    idempotent) — the same pattern the flagship uses for its decoded
+    change stream.  These relations export engine-computed SKETCHES
+    (signatures / shingle hashes / simhashes), letting the oracle restate
+    the whole banding + verify + transitive-closure pipeline in SQL."""
+    import shutil
+
+    path = os.path.join(_SKETCH_ORACLE_ROOT, name)
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+_MINHASH_SIGS_REL = os.path.join(_SKETCH_ORACLE_ROOT, "minhash_sigs")
+_SIMHASH_REL = os.path.join(_SKETCH_ORACLE_ROOT, "simhashes")
+_NGRAM_SETS_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ngram_sets")
+_ANN_QUERIES_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ann_queries")
+
+
 def q_minhash_dedup(sf_dir: str) -> pa.Table:
-    return datapipe.minhash_dedup(_docs(sf_dir))
+    """MinHash-LSH near-dup clustering, with a full SQL restatement: the
+    query exports the exploded signature matrix (doc_id, i, v); the
+    oracle rebuilds the 32-band×4-row banding, candidate pairs, the
+    128-position agreement verify (≥0.8) and the transitive closure with
+    min-id labels — the complete algorithm, not just row counts."""
+    docs = _docs(sf_dir)
+
+    def explode_sigs(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = datapipe._sig_matrix(t.column("sig"), 128)
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids.astype(np.int64), 128)),
+                "i": pa.array(np.tile(np.arange(128, dtype=np.int32), n)),
+                "v": pa.array(np.ascontiguousarray(m.reshape(-1)).view(np.int64)),
+            }
+        )
+
+    _write_rel(
+        datapipe.minhash_signatures_ds(docs, "text", "doc_id", 128, 5)
+        .map_batches(explode_sigs, batch_format="pyarrow"),
+        "minhash_sigs",
+    )
+    return datapipe.minhash_dedup(docs)
 
 
 def q_simhash_dedup(sf_dir: str) -> pa.Table:
-    return datapipe.simhash_dedup(_docs(sf_dir))
+    """SimHash near-dup clustering; exports (doc_id, h) so the oracle
+    restates the 4-block pigeonhole banding, Hamming≤3 verify
+    (bit_count(xor)) and closure in SQL."""
+    from go_mysql_transfer_ray.functions import sketch
+
+    docs = _docs(sf_dir)
+
+    def add_h(t: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(t.column("text"))
+        h = sketch.simhash64(flat, off)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
+                "h": pa.array(h.view(np.int64)),
+            }
+        )
+
+    _write_rel(docs.map_batches(add_h, batch_format="pyarrow"), "simhashes")
+    return datapipe.simhash_dedup(docs)
 
 
 def q_ann_topk(sf_dir: str) -> pa.Table:
+    """Exact brute-force top-k cosine neighbors.  The compared columns
+    are (query_id, neighbor_id, rank): rank is the value-level check of
+    the cosine ORDER (the oracle recomputes every cosine in DuckDB and
+    ranks identically); the raw float is excluded from the hash compare
+    because f32-matmul vs DuckDB accumulation differ in final ulps."""
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return datapipe.ann_topk(emb, _query_vectors(sf_dir), k=10)
+    q = _query_vectors(sf_dir)
+    _write_rel(
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array(np.arange(len(q), dtype=np.int64)),
+                    "embedding": pa.array(
+                        [row.tolist() for row in q], pa.list_(pa.float32())
+                    ),
+                }
+            )
+        ),
+        "ann_queries",
+    )
+    out = datapipe.ann_topk(emb, q, k=10)
+    return out.select(["query_id", "neighbor_id", "rank"])
 
 
 def q_ann_lsh(sf_dir: str) -> pa.Table:
@@ -768,7 +856,53 @@ def q_ann_lsh(sf_dir: str) -> pa.Table:
 
 
 def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
-    return datapipe.ngram_jaccard_dedup(_docs(sf_dir), threshold=0.8)
+    """Exact n-gram Jaccard clustering; exports each doc's unique shingle
+    hashes (doc_id, h; h NULL marks a shingle-less doc so the oracle
+    still covers it) — the oracle restates the bottom-8 anchor candidate
+    generation (u64 order via ORDER BY (h<0), h), the exact-Jaccard
+    verify and the closure."""
+    docs = _docs(sf_dir)
+
+    def explode_sets(t: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(t.column("text"))
+        sh, soff = textfn.shingle_hashes(flat, off, k=3)
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        ndocs = t.num_rows
+        counts = np.diff(soff)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+        order = np.lexsort((sh, doc_idx))
+        sd, sv = doc_idx[order], sh[order]
+        m = len(sv)
+        first = np.empty(m, dtype=bool)
+        if m:
+            first[0] = True
+            first[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+        ud, uv = sd[first], np.ascontiguousarray(sv[first])
+        out_ids = ids[ud]
+        out_h = uv.view(np.int64)
+        # docs with zero shingles: one NULL-hash row keeps them in the
+        # oracle's doc universe
+        have = np.zeros(ndocs, dtype=bool)
+        have[ud] = True
+        empty_ids = ids[~have]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([out_ids, empty_ids]).astype(np.int64)
+                ),
+                "h": pa.concat_arrays(
+                    [
+                        pa.array(out_h, pa.int64()),
+                        pa.nulls(len(empty_ids), pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    _write_rel(
+        docs.map_batches(explode_sets, batch_format="pyarrow"), "ngram_sets"
+    )
+    return datapipe.ngram_jaccard_dedup(docs, threshold=0.8)
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
@@ -778,14 +912,28 @@ def q_ann_ivf(sf_dir: str) -> pa.Table:
 
 def q_embedding_dedup(sf_dir: str) -> pa.Table:
     """The synthetic embeddings have no natural near-dups (max pairwise
-    cosine ≈ 0.5), so plant exact duplicates of the first 20 vectors
-    (vec_id + 1_000_000) — the operator must find exactly those pairs."""
-    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    cosine ≈ 0.5), so plant exact duplicates of the 20 SMALLEST vec_ids
+    (vec_id + 1_000_000) — deterministic for the SQL oracle, which
+    restates the planting and the all-pairs cosine ≥ 0.95 filter.
+    ``cosine`` is rounded to 3 decimals on both sides (f32 vs DuckDB
+    accumulation differ in final ulps; every true pair here is ≈1.0)."""
+    tab = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")).sort_by("vec_id")
     dup = tab.slice(0, 20).set_column(
-        0, "vec_id", pc.add(tab.slice(0, 20).column("vec_id"), 1_000_000)
+        tab.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(tab.slice(0, 20).column("vec_id"), 1_000_000),
     )
     emb = ray.data.from_arrow(pa.concat_tables([tab, dup]))
-    return datapipe.embedding_dedup(emb, threshold=0.95)
+    out = datapipe.embedding_dedup(emb, threshold=0.95)
+
+    def round3(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("cosine"),
+            "cosine",
+            pc.round(t.column("cosine"), 3),
+        )
+
+    return out.map_batches(round3, batch_format="pyarrow")
 
 
 def _events_as_changes(sf_dir: str):
@@ -1588,5 +1736,176 @@ def oracle_sql() -> dict[str, str]:
                    ',"date":{{"lang":"' || lang || '","path":"' || path ||
                    '","repo":"' || repo || '"}}}}' AS value
             FROM read_parquet('{_CHANGES_ORACLE_PATH}/*.parquet')
+        """,
+        # full MinHash-LSH restatement over the exported signature matrix:
+        # 32 bands × 4 rows banding → candidate pairs → 128-position
+        # agreement ≥ 0.8 → symmetric transitive closure, min-id labels
+        "minhash_dedup": f"""
+            WITH RECURSIVE s AS (
+                SELECT doc_id, i, v
+                FROM read_parquet('{_MINHASH_SIGS_REL}/*.parquet')
+            ),
+            docs AS (SELECT DISTINCT doc_id FROM s),
+            bk AS (
+                SELECT doc_id, i // 4 AS band,
+                       string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS key
+                FROM s GROUP BY doc_id, i // 4
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bk x JOIN bk y
+                  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            ),
+            sim AS (
+                SELECT c.a, c.b,
+                       avg(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS agree
+                FROM cand c
+                JOIN s sa ON sa.doc_id = c.a
+                JOIN s sb ON sb.doc_id = c.b AND sb.i = sa.i
+                GROUP BY c.a, c.b
+            ),
+            edges AS (SELECT a, b FROM sim WHERE agree >= 0.8),
+            sym AS (
+                SELECT a AS x, b AS y FROM edges
+                UNION ALL SELECT b, a FROM edges
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM docs
+                UNION
+                SELECT sym.y, reach.label
+                FROM reach JOIN sym ON sym.x = reach.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        # SimHash restatement: 4-block pigeonhole banding, Hamming ≤ 3 via
+        # bit_count(xor), closure; hex formatting matches the engine output
+        "simhash_dedup": f"""
+            WITH RECURSIVE hsh AS (
+                SELECT doc_id, h FROM read_parquet('{_SIMHASH_REL}/*.parquet')
+            ),
+            blocks AS (
+                SELECT doc_id, k.k, (h >> (16 * k.k)) & 65535 AS key
+                FROM hsh, (SELECT unnest([0, 1, 2, 3]) AS k) k
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM blocks x JOIN blocks y
+                  ON x.k = y.k AND x.key = y.key AND x.doc_id < y.doc_id
+            ),
+            edges AS (
+                SELECT c.a, c.b
+                FROM cand c
+                JOIN hsh ha ON ha.doc_id = c.a
+                JOIN hsh hb ON hb.doc_id = c.b
+                WHERE bit_count(xor(ha.h, hb.h)) <= 3
+            ),
+            sym AS (
+                SELECT a AS x, b AS y FROM edges
+                UNION ALL SELECT b, a FROM edges
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM hsh
+                UNION
+                SELECT sym.y, reach.label
+                FROM reach JOIN sym ON sym.x = reach.node
+            )
+            SELECT r.node AS doc_id,
+                   printf('%016x', hsh.h) AS simhash,
+                   min(r.label) AS cluster_id
+            FROM reach r JOIN hsh ON hsh.doc_id = r.node
+            GROUP BY r.node, hsh.h
+        """,
+        # exact n-gram Jaccard restatement: bottom-8 anchors in u64 order
+        # (ORDER BY (h<0), h over the int64 view), anchor-sharing candidate
+        # pairs, exact Jaccard ≥ 0.8 from the full sets, closure; NULL-hash
+        # rows keep shingle-less docs in the universe
+        "ngram_jaccard_dedup": f"""
+            WITH RECURSIVE raw AS (
+                SELECT doc_id, h FROM read_parquet('{_NGRAM_SETS_REL}/*.parquet')
+            ),
+            docs AS (SELECT DISTINCT doc_id FROM raw),
+            g AS (SELECT doc_id, h FROM raw WHERE h IS NOT NULL),
+            sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+            anchors AS (
+                SELECT doc_id, h FROM (
+                    SELECT doc_id, h,
+                           row_number() OVER (
+                               PARTITION BY doc_id ORDER BY (h < 0), h
+                           ) AS rn
+                    FROM g
+                ) WHERE rn <= 8
+            ),
+            cand AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM anchors x JOIN anchors y
+                  ON x.h = y.h AND x.doc_id < y.doc_id
+            ),
+            inter AS (
+                SELECT c.a, c.b, count(*) AS i
+                FROM cand c
+                JOIN g ga ON ga.doc_id = c.a
+                JOIN g gb ON gb.doc_id = c.b AND gb.h = ga.h
+                GROUP BY c.a, c.b
+            ),
+            edges AS (
+                SELECT i.a, i.b
+                FROM inter i
+                JOIN sizes sa ON sa.doc_id = i.a
+                JOIN sizes sb ON sb.doc_id = i.b
+                WHERE i.i >= 0.8 * (sa.n + sb.n - i.i)
+            ),
+            sym AS (
+                SELECT a AS x, b AS y FROM edges
+                UNION ALL SELECT b, a FROM edges
+            ),
+            reach(node, label) AS (
+                SELECT doc_id, doc_id FROM docs
+                UNION
+                SELECT sym.y, reach.label
+                FROM reach JOIN sym ON sym.x = reach.node
+            )
+            SELECT node AS doc_id, min(label) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        # exact top-k: every cosine recomputed in DuckDB, ranked cosine
+        # DESC then neighbor_id — the rank IS the value check of the
+        # similarity order (raw floats excluded: f32 ulps differ)
+        "ann_topk": f"""
+            WITH q AS (
+                SELECT * FROM read_parquet('{_ANN_QUERIES_REL}/*.parquet')
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS c
+                FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                       ) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        # planting restated in SQL (duplicates of the 20 smallest vec_ids),
+        # then ALL-pairs cosine ≥ 0.95 — the LSH result must equal the
+        # exhaustive scan (exact duplicates collide in every table)
+        "embedding_dedup": """
+            WITH planted AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM (
+                    SELECT vec_id, embedding,
+                           row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM embeddings
+                ) WHERE rn <= 20
+            )
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(x.embedding, y.embedding), 3)
+                       AS cosine
+            FROM planted x JOIN planted y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
         """,
     }
