@@ -96,8 +96,12 @@ def _flagship(sf_dir: str) -> dict:
                 pass
     out = os.path.join(LAKE_ROOT, f"{cfg.fingerprint()}-{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
+    delta_mode = os.environ.get("GRAFT_DELTA_MODE", "task")
     t0 = time.perf_counter()
-    metrics = cdc.replay(events_dir, out, num_partitions=max(64, NUM_CPUS * 4))
+    metrics = cdc.replay(
+        events_dir, out, num_partitions=max(64, NUM_CPUS * 4),
+        delta_mode=delta_mode,
+    )
     dt = time.perf_counter() - t0
     shutil.rmtree(out, ignore_errors=True)
     return {"sec": dt, "events": n_events, "rows": metrics["rows"]}
@@ -211,8 +215,9 @@ def run_suite() -> dict:
 def run_flagship_only() -> dict:
     warm_worker_pool(NUM_CPUS)
     fl = _flagship(SF_DIR)
+    mode = os.environ.get("GRAFT_DELTA_MODE", "task")
     return {
-        "metric": "flagship CDC replay",
+        "metric": f"flagship CDC replay (delta_mode={mode})",
         "value": round(fl["sec"], 3),
         "unit": "sec",
         "sf": SF_DIR,
@@ -300,11 +305,19 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
+    # per-NODE delta aggregation (stages/shuffle.BufferedDeltaWriter): the
+    # documented 10^10-event adaptation — delta files scale with nodes,
+    # not tasks.  Runs the flagship with GRAFT_DELTA_MODE=node.
+    ap.add_argument("--aggregate-deltas-per-node", action="store_true")
     # N vs 4N CPUs. 4→16 (not 8→32) because this single-node sandbox hits
     # a memory/page-fault wall near ~400k events/s that caps ANY cpu count
     # — both legs must sit below it to measure the ENGINE's scaling.
     ap.add_argument("--scaling-cpus", default="4,16")
     args = ap.parse_args()
+
+    if args.aggregate_deltas_per_node:
+        os.environ["GRAFT_DELTA_MODE"] = "node"
+        args.flagship_only = True
 
     if args.scaling:
         low, high = (int(x) for x in args.scaling_cpus.split(","))

@@ -295,6 +295,7 @@ def replay(
     batch_size: int = 65536,
     extra_events: "ray.data.Dataset | None" = None,
     base_dir: "str | None" = None,
+    delta_mode: str = "task",
 ) -> dict:
     """Replay the event log into a converged lake table at ``out_dir``.
 
@@ -303,8 +304,14 @@ def replay(
     ``udf``/``lookup`` are the Lua-contract hook and the broadcast dimension
     dict (dbOps analogue).  ``extra_events``: optional additional event
     dataset unioned with the shard read — used by tests to inject duplicated
-    blocks (exactly-once).  Returns run metrics.
+    blocks (exactly-once).  ``delta_mode``: "task" writes one delta file per
+    (task, partition) (retry-idempotent content-fingerprint names); "node"
+    aggregates deltas in a per-node buffer actor so file count scales with
+    nodes × partitions — the documented 10^10-event adaptation, valid here
+    because the LWW merge dedups replayed rows.  Returns run metrics.
     """
+    if delta_mode not in ("task", "node"):
+        raise ValueError(f"delta_mode must be task|node, got {delta_mode!r}")
     facts = stream_facts(events_dir)
     watermark = facts["watermark"]
     # schema state = persisted DDL history (earlier micro-batches) + this
@@ -447,9 +454,20 @@ def replay(
             "plan": plan_sig,
         },
     )
-    ds.map_batches(
-        shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow", batch_size=batch_size
-    ).sum("_rows")
+    if delta_mode == "node":
+        import uuid as _uuid
+
+        run_id = _uuid.uuid4().hex[:12]
+        ds.map_batches(
+            shfl.BufferedDeltaWriter(shuffle_dir, run_id),
+            batch_format="pyarrow", batch_size=batch_size,
+        ).sum("_rows")
+        shfl.flush_node_buffers(run_id)
+    else:
+        ds.map_batches(
+            shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow",
+            batch_size=batch_size,
+        ).sum("_rows")
 
     metrics = _run_stage_b(
         shuffle_dir, out_dir, num_partitions,

@@ -103,21 +103,146 @@ class DeltaWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({"_rows": pa.array([0], pa.int64())})
-        part = batch.column("_part").to_numpy()
-        order = np.argsort(part, kind="stable")
-        t = batch.take(pa.array(order))
-        part = part[order]
-        bounds = np.flatnonzero(np.diff(part)) + 1
-        starts = np.concatenate([[0], bounds])
-        ends = np.concatenate([bounds, [len(part)]])
-        u = self._name_stem(batch, part)
-        for s, e in zip(starts, ends):
-            p = int(part[s])
+        u = self._name_stem(batch, batch.column("_part").to_numpy())
+        n = 0
+        for p, t in split_by_part(batch):
             pq.write_table(
-                t.slice(int(s), int(e - s)).drop_columns(["_part"]),
-                os.path.join(self.shuffle_dir, f"part={p:05d}", f"d-{u}.parquet"),
+                t, os.path.join(self.shuffle_dir, f"part={p:05d}", f"d-{u}.parquet")
             )
-        return pa.table({"_rows": pa.array([len(part)], pa.int64())})
+            n += t.num_rows
+        return pa.table({"_rows": pa.array([n], pa.int64())})
+
+
+def split_by_part(batch: pa.Table):
+    """Yield (partition, table-without-_part) slices of a combined batch."""
+    part = batch.column("_part").to_numpy()
+    order = np.argsort(part, kind="stable")
+    t = batch.take(pa.array(order))
+    part = part[order]
+    bounds = np.flatnonzero(np.diff(part)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(part)]])
+    for s, e in zip(starts, ends):
+        yield int(part[s]), t.slice(int(s), int(e - s)).drop_columns(["_part"])
+
+
+_BUF_NAMESPACE = "gmt_shuffle"
+
+
+class _NodeDeltaBuffer:
+    """Node-local delta aggregation actor (one per node per run).
+
+    Buffers each partition's rows in memory and writes ONE delta file per
+    (node, partition, flush) instead of one per (task, partition) —
+    delta-file count scales with nodes, not tasks: the adaptation the
+    module docstring names for 10^10-event streams, where per-task files
+    would swamp the shared store's metadata.  A partition's buffer
+    flushes when it crosses ``flush_bytes``; the driver flushes the
+    remainder (``flush_node_buffers``) after stage A completes."""
+
+    def __init__(self, shuffle_dir: str, flush_bytes: int):
+        self.shuffle_dir = shuffle_dir
+        self.flush_bytes = flush_bytes
+        self.bufs: dict[int, list] = {}
+        self.sizes: dict[int, int] = {}
+        self.seq = 0
+        self.tag = uuid.uuid4().hex[:12]
+
+    def append(self, batch: pa.Table) -> int:
+        n = 0
+        for p, t in split_by_part(batch):
+            self.bufs.setdefault(p, []).append(t)
+            self.sizes[p] = self.sizes.get(p, 0) + t.nbytes
+            n += t.num_rows
+            if self.sizes[p] >= self.flush_bytes:
+                self._flush_part(p)
+        return n
+
+    def _flush_part(self, p: int) -> None:
+        tabs = self.bufs.pop(p, [])
+        if not tabs:
+            return
+        self.sizes.pop(p, None)
+        self.seq += 1
+        pq.write_table(
+            pa.concat_tables(tabs, promote_options="default"),
+            os.path.join(
+                self.shuffle_dir, f"part={p:05d}",
+                f"d-node-{self.tag}-{self.seq:06d}.parquet",
+            ),
+        )
+
+    def flush(self) -> int:
+        wrote = 0
+        for p in sorted(self.bufs):
+            self._flush_part(p)
+            wrote += 1
+        return wrote
+
+
+class BufferedDeltaWriter:
+    """map_batches stage: route combined batches to the caller node's
+    delta-buffer actor instead of writing per-task files.
+
+    The append is node-local (object-store transfer never crosses the
+    network) and synchronous, so when stage A's sum() returns every row
+    is either on disk or in a buffer — the driver then calls
+    ``flush_node_buffers(run_id)`` before stage B.
+
+    Exactly-once caveat: a retried task RE-APPENDS its batch (buffered
+    rows have no content-addressed filename), so this mode is only valid
+    for folds whose reduce dedups replayed rows — the LWW merge (both
+    flagship replays) qualifies; non-prereducible folds (sessionize,
+    list replay) must keep the per-task DeltaWriter."""
+
+    def __init__(self, shuffle_dir: str, run_id: str,
+                 flush_bytes: int = 64 << 20):
+        self.shuffle_dir = shuffle_dir
+        self.run_id = run_id
+        self.flush_bytes = flush_bytes
+        self._actor = None
+
+    def _buffer_actor(self):
+        import ray
+
+        if self._actor is None:
+            node_id = ray.get_runtime_context().get_node_id()
+            actor_cls = ray.remote(num_cpus=0)(_NodeDeltaBuffer)
+            self._actor = actor_cls.options(
+                name=f"gmtbuf-{self.run_id}-{node_id[:16]}",
+                namespace=_BUF_NAMESPACE,
+                get_if_exists=True,
+                lifetime="detached",
+                scheduling_strategy=ray.util.scheduling_strategies.NodeAffinitySchedulingStrategy(
+                    node_id=node_id, soft=False
+                ),
+            ).remote(self.shuffle_dir, self.flush_bytes)
+        return self._actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        if batch.num_rows == 0:
+            return pa.table({"_rows": pa.array([0], pa.int64())})
+        n = ray.get(self._buffer_actor().append.remote(batch))
+        return pa.table({"_rows": pa.array([n], pa.int64())})
+
+
+def flush_node_buffers(run_id: str) -> int:
+    """Flush + tear down every node's delta buffer for ``run_id``.
+    Returns the number of residual partition buffers written."""
+    import ray
+    from ray.util import list_named_actors
+
+    wrote = 0
+    prefix = f"gmtbuf-{run_id}-"
+    for info in list_named_actors(all_namespaces=True):
+        if info["namespace"] != _BUF_NAMESPACE or not info["name"].startswith(prefix):
+            continue
+        a = ray.get_actor(info["name"], namespace=info["namespace"])
+        wrote += ray.get(a.flush.remote())
+        ray.kill(a)
+    return wrote
 
 
 def prepare_shuffle_dir(shuffle_dir: str, num_partitions: int, meta: dict) -> None:

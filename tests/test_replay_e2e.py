@@ -314,6 +314,84 @@ def test_stock_reset_removes_old_replay_output(tmp_path):
     assert t.num_rows == 1 and t.column("repo").to_pylist() == ["x/only"]
 
 
+def test_node_buffered_deltas_same_lake_fewer_files(tmp_path, ray_session):
+    """delta_mode='node' (per-node buffer actor, the documented 10^10
+    adaptation): byte-identical lake output, and delta-file count bounded
+    by partitions (single node), not tasks × partitions."""
+    import glob
+
+    from go_mysql_transfer_ray.stages import shuffle as shfl
+
+    cfg = BinlogConfig(num_keys=3000, avg_events_per_key=4.0, delete_pct=12)
+    ev = materialize_events(cfg, root=str(tmp_path / "ev"), shards=8)
+    out_a = str(tmp_path / "task")
+    out_b = str(tmp_path / "node")
+    ma = cdc.replay(ev, out_a, num_partitions=8)
+    # count the per-task delta files by re-running stage A manually:
+    # observed indirectly — instead intercept via a buffered run's file
+    # tally below; here just assert output equality and buffer teardown
+    mb = cdc.replay(ev, out_b, num_partitions=8, delta_mode="node")
+    assert ma["rows"] == mb["rows"] and ma["watermark"] == mb["watermark"]
+    ta = cdc.lake_table(out_a).sort_by([("repo", "ascending"), ("path", "ascending")])
+    tb = cdc.lake_table(out_b).sort_by([("repo", "ascending"), ("path", "ascending")])
+    assert ta.equals(tb)
+    # all buffer actors torn down
+    from ray.util import list_named_actors
+
+    assert not [
+        a for a in list_named_actors(all_namespaces=True)
+        if a["namespace"] == "gmt_shuffle"
+    ]
+
+
+def test_buffered_writer_file_count_and_content(tmp_path, ray_session):
+    """Component-level: many stage-A batches through BufferedDeltaWriter
+    produce ≤ partitions files (one node, no mid-run flush) with the same
+    rows the per-task writer would have written."""
+    import glob
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_mysql_transfer_ray.stages import shuffle as shfl
+
+    def mk(i):
+        n = 200
+        return pa.table(
+            {
+                "key": pa.array([f"k{(i * n + j) % 50}" for j in range(n)]),
+                "gtid": pa.array(np.arange(n, dtype=np.int64) + i * n),
+                "_part": pa.array((np.arange(n) % 4).astype(np.int32)),
+            }
+        )
+
+    d_task = str(tmp_path / "task")
+    d_node = str(tmp_path / "node")
+    shfl.prepare_shuffle_dir(d_task, 4, {"m": "t"})
+    shfl.prepare_shuffle_dir(d_node, 4, {"m": "n"})
+    wt = shfl.DeltaWriter(d_task)
+    run_id = uuid.uuid4().hex[:8]
+    wn = shfl.BufferedDeltaWriter(d_node, run_id)
+    for i in range(10):
+        wt(mk(i))
+        wn(mk(i))
+    shfl.flush_node_buffers(run_id)
+    files_task = glob.glob(f"{d_task}/part=*/*.parquet")
+    files_node = glob.glob(f"{d_node}/part=*/*.parquet")
+    assert len(files_task) == 40  # tasks(10) × partitions(4)
+    assert len(files_node) <= 4   # nodes(1) × partitions(4)
+    for p in range(4):
+        a = pa.concat_tables(
+            [pq.read_table(f) for f in shfl.partition_delta_files(d_task, p)]
+        ).sort_by([("gtid", "ascending")])
+        b = pa.concat_tables(
+            [pq.read_table(f) for f in shfl.partition_delta_files(d_node, p)]
+        ).sort_by([("gtid", "ascending")])
+        assert a.equals(b)
+
+
 def test_lambda_plan_change_not_fenced(tmp_path):
     """Two different lambdas must not share a resume plan (bytecode hash
     in the signature)."""
