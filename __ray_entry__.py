@@ -1058,6 +1058,44 @@ def q_lua_redis_rule(sf_dir: str):
     return out.select_columns(["redis_key", "value"])
 
 
+_LUA_LIST_RULE = """
+local ops = require("redisOps")
+local row = ops.rawRow()
+local act = ops.rawAction()
+local key = "lst:" .. row["user_id"]
+if act == "delete" then
+  ops.LREM(key, "click")
+else
+  ops.RPUSH(key, row["event_type"])
+end
+"""
+
+
+def q_lua_redis_list_rule(sf_dir: str):
+    """K1/K8 via the Lua surface, LIST structure: RPUSH/LREM ops decoded
+    from a real rule script ride the per-key ORDERED replay (not the LWW
+    merge, which would collapse a list to its last value — round-2
+    advisory).  'error' events LREM every 'click' pushed so far
+    (redis.go:240-246 LREM count=0 removes ALL occurrences); the oracle
+    states survival as 'no later LREM of my value' + row_number order."""
+    from go_mysql_transfer_ray.pipelines.lua_rules import lua_redis_list_state
+
+    out = lua_redis_list_state(
+        _events_as_changes(sf_dir),
+        _LUA_LIST_RULE,
+        payload_cols=("user_id", "event_type"),
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("list_pos"),
+            "list_pos",
+            pc.cast(t.column("list_pos"), pa.int64()),
+        )
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
 _LUA_DBOPS_RULE = """
 local db = require("dbOps")
 local ops = require("redisOps")
@@ -1323,6 +1361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         "lua_redis_rule": q_lua_redis_rule,
+        "lua_redis_list_rule": q_lua_redis_list_rule,
         "lua_dbops_enrich": q_lua_dbops_enrich,
         "lua_mongo_upsert": q_lua_mongo_upsert,
         "lua_es_ops": q_lua_es_ops,
@@ -1559,6 +1598,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'evt:' || CAST(user_id AS VARCHAR) AS redis_key,
                    event_type AS value
             FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # Lua list replay: a push survives unless its value is 'click' AND
+        # a later 'error' event LREMs the key (count=0 = ALL occurrences);
+        # final positions = push order over survivors
+        "lua_redis_list_rule": """
+            WITH pushes AS (
+                SELECT user_id, event_id, event_type FROM events
+                WHERE event_type <> 'error'
+            ),
+            dels AS (
+                SELECT user_id, event_id FROM events WHERE event_type = 'error'
+            ),
+            survive AS (
+                SELECT p.user_id, p.event_id, p.event_type
+                FROM pushes p
+                WHERE NOT (p.event_type = 'click' AND EXISTS (
+                    SELECT 1 FROM dels d
+                    WHERE d.user_id = p.user_id AND d.event_id > p.event_id
+                ))
+            )
+            SELECT 'lst:' || CAST(user_id AS VARCHAR) AS redis_key,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                   ) - 1 AS list_pos,
+                   event_type AS value
+            FROM survive
         """,
         "lua_dbops_enrich": """
             SELECT DISTINCT 'u:' || CAST(e.user_id AS VARCHAR) AS redis_key,
