@@ -118,6 +118,25 @@ def cmd_position(args) -> dict:
     return {"out": args.out, "partitions": n, "watermark": args.force_watermark}
 
 
+def cmd_serve(args) -> dict:
+    """Web admin (router.go:23-62 + the promhttp exporter): serve /,
+    /metrics, /position over HTTP for an existing lake.  Blocks until
+    interrupted."""
+    from .web_admin import AdminServer
+
+    srv = AdminServer(args.out, port=args.port).start()
+    info = {"listening": f"http://127.0.0.1:{srv.port}", "out": args.out}
+    print(json.dumps(info))
+    try:
+        import time as _t
+
+        while True:
+            _t.sleep(3600)
+    except KeyboardInterrupt:
+        srv.close()
+    return info
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="go_mysql_transfer_ray")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "8")))
@@ -163,6 +182,11 @@ def main(argv=None) -> None:
     po.add_argument("--out", required=True)
     po.add_argument("--force-watermark", type=int, required=True)
     po.set_defaults(fn=cmd_position)
+
+    sv = sub.add_parser("serve", help="web admin: /, /metrics, /position")
+    sv.add_argument("--out", required=True)
+    sv.add_argument("--port", type=int, default=8060)
+    sv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     print(json.dumps(args.fn(args)))
