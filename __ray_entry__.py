@@ -795,34 +795,25 @@ def q_minhash_dedup(sf_dir: str) -> pa.Table:
             }
         )
 
-    _write_rel(
-        datapipe.minhash_signatures_ds(docs, "text", "doc_id", 128, 5)
-        .map_batches(explode_sigs, batch_format="pyarrow"),
-        "minhash_sigs",
-    )
-    return datapipe.minhash_dedup(docs)
+    sigs = datapipe.minhash_signatures_ds(docs, "text", "doc_id", 128, 5).materialize()
+    _write_rel(sigs.map_batches(explode_sigs, batch_format="pyarrow"), "minhash_sigs")
+    return datapipe.minhash_dedup(docs, sigs=sigs)
 
 
 def q_simhash_dedup(sf_dir: str) -> pa.Table:
     """SimHash near-dup clustering; exports (doc_id, h) so the oracle
     restates the 4-block pigeonhole banding, Hamming≤3 verify
-    (bit_count(xor)) and closure in SQL."""
-    from go_mysql_transfer_ray.functions import sketch
-
+    (bit_count(xor)) and closure in SQL.  The relation is the pipeline's
+    own materialized ``simhash_ds`` — one hash pass, shared."""
     docs = _docs(sf_dir)
-
-    def add_h(t: pa.Table) -> pa.Table:
-        flat, off = textfn.hash_tokens(t.column("text"))
-        h = sketch.simhash64(flat, off)
-        return pa.table(
-            {
-                "doc_id": pc.cast(t.column("doc_id"), pa.int64()),
-                "h": pa.array(h.view(np.int64)),
-            }
-        )
-
-    _write_rel(docs.map_batches(add_h, batch_format="pyarrow"), "simhashes")
-    return datapipe.simhash_dedup(docs)
+    hashed = datapipe.simhash_ds(docs, "text", "doc_id").materialize()
+    _write_rel(
+        hashed.map_batches(
+            lambda t: t.rename_columns(["doc_id", "h"]), batch_format="pyarrow"
+        ),
+        "simhashes",
+    )
+    return datapipe.simhash_dedup(docs, hashed=hashed)
 
 
 def q_ann_topk(sf_dir: str) -> pa.Table:
@@ -860,31 +851,34 @@ def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
     hashes (doc_id, h; h NULL marks a shingle-less doc so the oracle
     still covers it) — the oracle restates the bottom-8 anchor candidate
     generation (u64 order via ORDER BY (h<0), h), the exact-Jaccard
-    verify and the closure."""
+    verify and the closure.
+
+    The set relation is UNPACKED from the pipeline's own materialized
+    ``ngram_sets_ds`` blobs (zero-copy off the Arrow buffers) instead of
+    re-running the shingle pass — one scan, shared with the dedup."""
     docs = _docs(sf_dir)
+    sets = datapipe.ngram_sets_ds(docs, "text", "doc_id", 3, 8).materialize()
 
     def explode_sets(t: pa.Table) -> pa.Table:
-        flat, off = textfn.hash_tokens(t.column("text"))
-        sh, soff = textfn.shingle_hashes(flat, off, k=3)
         ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
-        ndocs = t.num_rows
-        counts = np.diff(soff)
-        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
-        order = np.lexsort((sh, doc_idx))
-        sd, sv = doc_idx[order], sh[order]
-        m = len(sv)
-        first = np.empty(m, dtype=bool)
-        if m:
-            first[0] = True
-            first[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
-        ud, uv = sd[first], np.ascontiguousarray(sv[first])
-        out_ids = ids[ud]
-        out_h = uv.view(np.int64)
+        g = t.column("ngrams")
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        bufs = g.buffers()
+        off = np.frombuffer(bufs[1], dtype=np.int32)[g.offset: g.offset + len(g) + 1]
+        raw = np.frombuffer(bufs[2], dtype=np.uint8)
+        vals = raw[: (len(raw) // 8) * 8].view("<u8")
+        starts = (off[:-1] // 8).astype(np.int64)
+        cnts = (np.diff(off) // 8).astype(np.int64)
+        tot = int(cnts.sum())
+        base = np.repeat(starts, cnts)
+        run0 = np.repeat(np.r_[0, np.cumsum(cnts)[:-1]], cnts)
+        hv = vals[base + (np.arange(tot, dtype=np.int64) - run0)]
+        out_ids = np.repeat(ids, cnts)
+        out_h = hv.view(np.int64)
         # docs with zero shingles: one NULL-hash row keeps them in the
         # oracle's doc universe
-        have = np.zeros(ndocs, dtype=bool)
-        have[ud] = True
-        empty_ids = ids[~have]
+        empty_ids = ids[cnts == 0]
         return pa.table(
             {
                 "doc_id": pa.array(
@@ -900,9 +894,9 @@ def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
         )
 
     _write_rel(
-        docs.map_batches(explode_sets, batch_format="pyarrow"), "ngram_sets"
+        sets.map_batches(explode_sets, batch_format="pyarrow"), "ngram_sets"
     )
-    return datapipe.ngram_jaccard_dedup(docs, threshold=0.8)
+    return datapipe.ngram_jaccard_dedup(docs, threshold=0.8, sets_ds=sets)
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
