@@ -746,7 +746,34 @@ def q_lang_id(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
-    return datapipe.fingerprints(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
+    """Winnowing fingerprints (Schleimer et al.), value-checkable: the
+    engine's 5-gram rolling-hash stream is exported as (doc_id, pos,
+    h:uint64) — h stays UNSIGNED so DuckDB's MIN uses the same u64 order
+    as the engine — and the oracle restates winnowing itself in SQL:
+    per-window (w=4) minimum via a ROWS window frame, whole-doc minimum
+    for docs with ≤w shingles, xor-fold of the DISTINCT selected hashes
+    (bit_xor), hex formatting."""
+    docs = _docs(sf_dir)
+
+    def explode_shingles(t: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(t.column("text"))
+        sh, soff = textfn.shingle_hashes(flat, off, k=5)
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        cnts = np.diff(soff)
+        pos = np.arange(len(sh), dtype=np.int64) - np.repeat(soff[:-1], cnts)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, cnts)),
+                "pos": pa.array(pos),
+                "h": pa.array(sh, pa.uint64()),
+            }
+        )
+
+    _write_rel(
+        docs.map_batches(explode_shingles, batch_format="pyarrow"),
+        "shingle_stream",
+    )
+    return datapipe.fingerprints(docs).select_columns(["doc_id", "fingerprint"])
 
 
 _SKETCH_ORACLE_ROOT = "/tmp/gmt_oracle_changes"
@@ -772,6 +799,9 @@ def _write_rel(ds: "ray.data.Dataset", name: str) -> str:
 _MINHASH_SIGS_REL = os.path.join(_SKETCH_ORACLE_ROOT, "minhash_sigs")
 _SIMHASH_REL = os.path.join(_SKETCH_ORACLE_ROOT, "simhashes")
 _NGRAM_SETS_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ngram_sets")
+_ANN_LSH_PRUNED_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ann_lsh_pruned")
+_ANN_IVF_PRUNED_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ann_ivf_pruned")
+_SHINGLE_STREAM_REL = os.path.join(_SKETCH_ORACLE_ROOT, "shingle_stream")
 _ANN_QUERIES_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ann_queries")
 
 
@@ -824,6 +854,12 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
     because f32-matmul vs DuckDB accumulation differ in final ulps."""
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     q = _query_vectors(sf_dir)
+    _write_ann_queries_rel(q)
+    out = datapipe.ann_topk(emb, q, k=10)
+    return out.select(["query_id", "neighbor_id", "rank"])
+
+
+def _write_ann_queries_rel(q: np.ndarray) -> None:
     _write_rel(
         ray.data.from_arrow(
             pa.table(
@@ -837,13 +873,22 @@ def q_ann_topk(sf_dir: str) -> pa.Table:
         ),
         "ann_queries",
     )
-    out = datapipe.ann_topk(emb, q, k=10)
-    return out.select(["query_id", "neighbor_id", "rank"])
 
 
 def q_ann_lsh(sf_dir: str) -> pa.Table:
+    """LSH-bucketed approximate ANN, value-checkable: the engine-computed
+    pruned subset (bucket membership) is exported as a relation, and the
+    oracle states EXACT cosine top-k over that subset — so bucket
+    assignment, multiprobe expansion, and the final ranking are all
+    value-checked; only the hyperplane hash itself is taken as given
+    (it defines the operator, like minhash's seeds)."""
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return datapipe.lsh_bucketed_ann(emb, _query_vectors(sf_dir), k=10)
+    q = _query_vectors(sf_dir)
+    _write_ann_queries_rel(q)
+    pruned = datapipe.lsh_prune(emb, q).materialize()
+    _write_rel(pruned.select_columns(["vec_id"]), "ann_lsh_pruned")
+    out = datapipe.lsh_bucketed_ann(emb, q, k=10, pruned=pruned)
+    return out.select(["query_id", "neighbor_id", "rank"])
 
 
 def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
@@ -900,8 +945,17 @@ def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
 
 
 def q_ann_ivf(sf_dir: str) -> pa.Table:
+    """IVF-flat approximate ANN, value-checkable like ``ann_lsh``: the
+    pruned subset (union of each query's nprobe closest inverted lists,
+    under the engine's k-means quantizer) is exported; the oracle states
+    exact cosine top-k over it."""
     emb = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return datapipe.ivf_ann(emb, _query_vectors(sf_dir), k=10)
+    q = _query_vectors(sf_dir)
+    _write_ann_queries_rel(q)
+    pruned = datapipe.ivf_prune(emb, q).materialize()
+    _write_rel(pruned.select_columns(["vec_id"]), "ann_ivf_pruned")
+    out = datapipe.ivf_ann(emb, q, k=10, pruned=pruned)
+    return out.select(["query_id", "neighbor_id", "rank"])
 
 
 def q_embedding_dedup(sf_dir: str) -> pa.Table:
@@ -1966,5 +2020,119 @@ def oracle_sql() -> dict[str, str]:
                        AS cosine
             FROM planted x JOIN planted y ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+        """,
+        # approximate ANN made value-checkable: the engine exports its
+        # pruned corpus subset (bucket / inverted-list membership under
+        # its own hash/quantizer); the oracle recomputes EXACT cosine
+        # top-k over that subset, so pruning plumbing + ranking are both
+        # checked value-for-value
+        "ann_lsh": f"""
+            WITH q AS (
+                SELECT * FROM read_parquet('{_ANN_QUERIES_REL}/*.parquet')
+            ),
+            p AS (
+                SELECT vec_id
+                FROM read_parquet('{_ANN_LSH_PRUNED_REL}/*.parquet')
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS c
+                FROM q
+                CROSS JOIN embeddings e
+                JOIN p ON p.vec_id = e.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                       ) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        "ann_ivf": f"""
+            WITH q AS (
+                SELECT * FROM read_parquet('{_ANN_QUERIES_REL}/*.parquet')
+            ),
+            p AS (
+                SELECT vec_id
+                FROM read_parquet('{_ANN_IVF_PRUNED_REL}/*.parquet')
+            ),
+            sims AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.embedding, e.embedding) AS c
+                FROM q
+                CROSS JOIN embeddings e
+                JOIN p ON p.vec_id = e.vec_id
+            ),
+            ranked AS (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, neighbor_id
+                       ) AS rank
+                FROM sims
+            )
+            SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 10
+        """,
+        # distributed CC over the planted embedding-dup pairs: the pair
+        # set is restated exactly as in the embedding_dedup oracle, the
+        # closure as a recursive CTE, cluster = min reachable node
+        "dedup_clusters_distributed": """
+            WITH RECURSIVE planted AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 1000000, embedding FROM (
+                    SELECT vec_id, embedding,
+                           row_number() OVER (ORDER BY vec_id) AS rn
+                    FROM embeddings
+                ) WHERE rn <= 20
+            ),
+            pairs AS (
+                SELECT x.vec_id AS a, y.vec_id AS b
+                FROM planted x JOIN planted y ON x.vec_id < y.vec_id
+                WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.95
+            ),
+            edges AS (
+                SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            reach(id, r) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT g.id, e.b FROM reach g JOIN edges e ON e.a = g.r
+            )
+            SELECT id AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY id
+        """,
+        # winnowing restated over the engine's exported 5-gram hash
+        # stream (h is UBIGINT so MIN is u64 order): per-window(4) min
+        # frame, whole-doc min for short docs, xor-fold of the DISTINCT
+        # selected hashes, %016x hex; docs with no shingles → all-zero
+        "fingerprints": f"""
+            WITH s AS (
+                SELECT doc_id, pos, h
+                FROM read_parquet('{_SHINGLE_STREAM_REL}/*.parquet')
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+            winmin AS (
+                SELECT s.doc_id, s.pos, c.n,
+                       min(h) OVER (
+                           PARTITION BY s.doc_id ORDER BY s.pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                       ) AS m
+                FROM s JOIN cnt c ON c.doc_id = s.doc_id
+            ),
+            sel AS (
+                SELECT doc_id, m FROM winmin
+                WHERE (n <= 4 AND pos = 0) OR (n > 4 AND pos <= n - 4)
+            ),
+            fp AS (
+                SELECT doc_id, bit_xor(DISTINCT m) AS f
+                FROM sel GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(lower(lpad(to_hex(fp.f), 16, '0')),
+                            '0000000000000000') AS fingerprint
+            FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
         """,
     }

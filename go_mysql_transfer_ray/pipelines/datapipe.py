@@ -869,24 +869,21 @@ def ann_topk(
     return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
 
 
-def lsh_bucketed_ann(
+def lsh_prune(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
-    k: int = 10,
     planes: int | None = None,
     probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 11,
-) -> pa.Table:
-    """Approximate variant: random-hyperplane LSH buckets; only buckets
-    matching a query (exact bucket, plus all single-bit-flip neighbors when
-    ``probes > 1``) are scanned.  The scale path when the corpus no longer
-    fits a per-batch matmul budget.
-
-    ``planes=None`` sizes the hash so buckets average ~64 vectors —
-    ``log2(n/64)`` — which keeps scanned-candidate volume roughly constant
-    as the corpus grows."""
+) -> "ray.data.Dataset":
+    """The bucket-pruning front half of ``lsh_bucketed_ann``: returns the
+    corpus SUBSET falling in any query's wanted buckets (exact bucket plus
+    single-bit-flip neighbors when ``probes > 1``).  Exposed separately so
+    the driver query can export the pruned id set as an oracle relation —
+    the SQL oracle then states EXACT top-k over this engine-computed
+    subset, making the approximate ANN value-checkable."""
     q = np.asarray(queries, dtype=np.float32)
     if planes is None:
         n = ds.count()
@@ -919,7 +916,38 @@ def lsh_bucketed_ann(
         keep = np.isin(b, ray.get(wanted_ref))
         return batch.filter(pa.array(keep))
 
-    pruned = ds.map_batches(filter_buckets, batch_format="pyarrow")
+    return ds.map_batches(filter_buckets, batch_format="pyarrow")
+
+
+def lsh_bucketed_ann(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    planes: int | None = None,
+    probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 11,
+    pruned: "ray.data.Dataset | None" = None,
+) -> pa.Table:
+    """Approximate variant: random-hyperplane LSH buckets; only buckets
+    matching a query (exact bucket, plus all single-bit-flip neighbors when
+    ``probes > 1``) are scanned.  The scale path when the corpus no longer
+    fits a per-batch matmul budget.
+
+    ``planes=None`` sizes the hash so buckets average ~64 vectors —
+    ``log2(n/64)`` — which keeps scanned-candidate volume roughly constant
+    as the corpus grows.
+
+    ``pruned``: optionally pass a pre-materialized ``lsh_prune`` result
+    (same params) so a caller that already needed the subset (oracle
+    export) doesn't pay the pruning pass twice."""
+    q = np.asarray(queries, dtype=np.float32)
+    if pruned is None:
+        pruned = lsh_prune(
+            ds, q, planes=planes, probes=probes,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
     return ann_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
@@ -1325,25 +1353,21 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int = 12, seed: int = 13):
     return cent
 
 
-def ivf_ann(
+def ivf_prune(
     ds: "ray.data.Dataset",
     queries: np.ndarray,
-    k: int = 10,
     nlist: int = 16,
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_size: int = 4096,
     seed: int = 13,
-) -> pa.Table:
-    """IVF-flat ANN: coarse k-means quantizer (trained on a driver-side
-    sample), per-batch cluster assignment, scan only the ``nprobe``
-    closest inverted lists per query.
-
-    The scale story: centroids are broadcast once (``ray.put``); every
-    batch does one matmul to assign clusters and drops rows outside the
-    probed lists BEFORE the top-k matmul — scanned volume ~ nprobe/nlist
-    of the corpus, independent of corpus size."""
+) -> "ray.data.Dataset":
+    """The inverted-list pruning front half of ``ivf_ann``: k-means coarse
+    quantizer on a driver-side sample, keep only corpus rows assigned to
+    the union of every query's ``nprobe`` closest lists.  Exposed so the
+    driver query can export the pruned id set as an oracle relation (the
+    SQL oracle states exact top-k over this subset)."""
     q = np.asarray(queries, dtype=np.float32)
     sample = np.stack(
         ds.limit(sample_size).to_pandas()[vec_col].to_numpy()
@@ -1365,7 +1389,39 @@ def ivf_ann(
         keep = np.isin(assign, ray.get(wanted_ref))
         return batch.filter(pa.array(keep))
 
-    pruned = ds.map_batches(filter_lists, batch_format="pyarrow")
+    return ds.map_batches(filter_lists, batch_format="pyarrow")
+
+
+def ivf_ann(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_size: int = 4096,
+    seed: int = 13,
+    pruned: "ray.data.Dataset | None" = None,
+) -> pa.Table:
+    """IVF-flat ANN: coarse k-means quantizer (trained on a driver-side
+    sample), per-batch cluster assignment, scan only the ``nprobe``
+    closest inverted lists per query.
+
+    The scale story: centroids are broadcast once (``ray.put``); every
+    batch does one matmul to assign clusters and drops rows outside the
+    probed lists BEFORE the top-k matmul — scanned volume ~ nprobe/nlist
+    of the corpus, independent of corpus size.
+
+    ``pruned``: optionally pass a pre-materialized ``ivf_prune`` result
+    (same params) to skip re-pruning when the caller already needed the
+    subset (oracle export)."""
+    q = np.asarray(queries, dtype=np.float32)
+    if pruned is None:
+        pruned = ivf_prune(
+            ds, q, nlist=nlist, nprobe=nprobe, id_col=id_col,
+            vec_col=vec_col, sample_size=sample_size, seed=seed,
+        )
     return ann_topk(pruned, q, k=k, id_col=id_col, vec_col=vec_col)
 
 
