@@ -177,6 +177,27 @@ def test_ngram_jaccard_dedup_exact_jaccard():
     assert cl2[200] == 200 and cl2[201] == 5
 
 
+def test_ann_prune_split_equivalence(emb):
+    """The prune/topk split (oracle-export support): passing a
+    pre-materialized prune result must give the exact same table as
+    letting lsh_bucketed_ann / ivf_ann prune internally."""
+    tab = emb.to_pandas()
+    mat = np.stack(tab["embedding"].to_numpy()).astype(np.float32)
+    queries = mat[:3]
+
+    whole = datapipe.lsh_bucketed_ann(emb, queries, k=5).to_pandas()
+    pruned = datapipe.lsh_prune(emb, queries).materialize()
+    split = datapipe.lsh_bucketed_ann(emb, queries, k=5, pruned=pruned).to_pandas()
+    assert whole.equals(split)
+
+    whole = datapipe.ivf_ann(emb, queries, k=5, nlist=8, nprobe=3).to_pandas()
+    pruned = datapipe.ivf_prune(emb, queries, nlist=8, nprobe=3).materialize()
+    split = datapipe.ivf_ann(
+        emb, queries, k=5, nlist=8, nprobe=3, pruned=pruned
+    ).to_pandas()
+    assert whole.equals(split)
+
+
 def test_ivf_ann_recalls_planted_queries(emb):
     tab = emb.to_pandas()
     mat = np.stack(tab["embedding"].to_numpy()).astype(np.float32)
