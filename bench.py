@@ -54,6 +54,37 @@ def _bench_binlog_cfg(sf_dir: str, scale: int = 1):
     )
 
 
+def _phase_probe_mbps(size_mb: int = 256) -> float:
+    """First-touch page-fault bandwidth probe (MB/s).
+
+    This VM swings between a healthy phase (~1.5-2 GB/s zero-fill fault
+    rate) and a degraded one (two orders of magnitude slower — BASELINE.md)
+    that inflates every run 2-4×.  A 256 MB touch costs ~0.15 s when
+    healthy, so probing is ~free."""
+    import numpy as np
+
+    t0 = time.perf_counter()
+    a = np.zeros(size_mb << 20, dtype=np.uint8)
+    a[::4096] = 1
+    dt = time.perf_counter() - t0
+    del a
+    return size_mb / dt
+
+
+def wait_healthy_phase(min_mbps: float = 600.0, max_wait_s: float = 240.0) -> float:
+    """Block (bounded) until the VM's fault bandwidth clears ``min_mbps``.
+
+    Measuring the engine during a degraded VM phase measures the VM; the
+    criterion is about steady-state engine throughput.  Returns the last
+    probe reading either way so callers can log it."""
+    deadline = time.monotonic() + max_wait_s
+    mbps = _phase_probe_mbps()
+    while mbps < min_mbps and time.monotonic() < deadline:
+        time.sleep(15)
+        mbps = _phase_probe_mbps()
+    return mbps
+
+
 def _warm_fn(batch):
     # force heavy imports once per worker so timed sections see a warm pool
     import numpy  # noqa: F401
@@ -196,6 +227,7 @@ def run_suite() -> dict:
     # entirely inside a degraded phase and measure the VM, not the engine
     reps = int(os.environ.get("GRAFT_SUITE_REPS", "2"))
 
+    wait_healthy_phase()
     # the flagship is the headline number — give it one more shot than the
     # short operator pipelines (a degraded-phase 3× swing on a 5 s run is
     # the difference between 740k and 250k reported events/s)
@@ -229,6 +261,9 @@ def run_suite() -> dict:
 
 def run_flagship_only() -> dict:
     warm_worker_pool(NUM_CPUS)
+    wait_healthy_phase(
+        max_wait_s=float(os.environ.get("GRAFT_PHASE_WAIT", "90"))
+    )
     fl = _flagship(SF_DIR)
     mode = os.environ.get("GRAFT_DELTA_MODE", "task")
     return {
