@@ -785,15 +785,11 @@ def _write_rel(ds: "ray.data.Dataset", name: str) -> str:
     change stream.  These relations export engine-computed SKETCHES
     (signatures / shingle hashes / simhashes), letting the oracle restate
     the whole banding + verify + transitive-closure pipeline in SQL."""
-    import shutil
+    from go_mysql_transfer_ray.state.manifest import atomic_write_parquet_dir
 
-    path = os.path.join(_SKETCH_ORACLE_ROOT, name)
-    tmp = path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds.write_parquet(tmp)
-    shutil.rmtree(path, ignore_errors=True)
-    os.rename(tmp, path)
-    return path
+    return atomic_write_parquet_dir(
+        ds, os.path.join(_SKETCH_ORACLE_ROOT, name)
+    )
 
 
 _MINHASH_SIGS_REL = os.path.join(_SKETCH_ORACLE_ROOT, "minhash_sigs")
@@ -909,12 +905,7 @@ def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
         g = t.column("ngrams")
         if isinstance(g, pa.ChunkedArray):
             g = g.combine_chunks()
-        bufs = g.buffers()
-        off = np.frombuffer(bufs[1], dtype=np.int32)[g.offset: g.offset + len(g) + 1]
-        raw = np.frombuffer(bufs[2], dtype=np.uint8)
-        vals = raw[: (len(raw) // 8) * 8].view("<u8")
-        starts = (off[:-1] // 8).astype(np.int64)
-        cnts = (np.diff(off) // 8).astype(np.int64)
+        vals, starts, cnts = datapipe.blob_u64_stream(g)
         tot = int(cnts.sum())
         base = np.repeat(starts, cnts)
         run0 = np.repeat(np.r_[0, np.cumsum(cnts)[:-1]], cnts)

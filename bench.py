@@ -345,17 +345,11 @@ def run_scaling(low: int, high: int, scale: int = 1,
             best[high],
         )
 
-    # this sandbox swings single runs 2-4× in its degraded phases
-    # (BASELINE.md); when a whole leg lands inside one, best-of-N still
-    # under-reports steady state.  Add up to 2 extra paired runs (after a
-    # healing pause) while the measurement sits under the 0.8 criterion —
-    # every run stays in all_runs_sec, nothing is discarded.
-    extra = 0
-    while _eff()[0] < 0.82 and extra < 2:
-        time.sleep(60)
-        _one_leg_run(low)
-        _one_leg_run(high)
-        extra += 1
+    # Fixed protocol: exactly runs_per_leg paired runs per leg (plus the
+    # pre-run phase probe that gates the START of the measurement on a
+    # healthy VM phase — an environment condition, never the outcome).
+    # No outcome-conditioned resampling: adding runs only when the
+    # number looks bad is optional stopping and biases best-of upward.
     eff, tput_low, tput_high = _eff()
     best = {
         n: max(rs, key=lambda r: r["flagship_events_per_sec"])

@@ -458,11 +458,17 @@ def replay(
         import uuid as _uuid
 
         run_id = _uuid.uuid4().hex[:12]
-        ds.map_batches(
-            shfl.BufferedDeltaWriter(shuffle_dir, run_id),
-            batch_format="pyarrow", batch_size=batch_size,
-        ).sum("_rows")
-        shfl.flush_node_buffers(run_id)
+        try:
+            ds.map_batches(
+                shfl.BufferedDeltaWriter(shuffle_dir, run_id),
+                batch_format="pyarrow", batch_size=batch_size,
+            ).sum("_rows")
+        finally:
+            # also on failure: the detached per-node buffer actors must
+            # not outlive the run (they hold buffered Arrow tables); a
+            # rerun re-prepares the shuffle dir, so partial flushes are
+            # harmless.
+            shfl.flush_node_buffers(run_id)
     else:
         ds.map_batches(
             shfl.DeltaWriter(shuffle_dir), batch_format="pyarrow",
@@ -757,10 +763,9 @@ def write_decoded_changes_multi(events_dir: str, out_path: str) -> str:
     """Decoded MULTI-TABLE change stream → Parquet relation for external
     oracles (union schema + ``table`` column; the per-table LWW is then
     statable in SQL partitioned by ``key``, which embeds the table)."""
-    import shutil
-
     from ..schema import TABLE_COLUMNS
     from ..stages.decode import MultiDecoder
+    from ..state.manifest import atomic_write_parquet_dir
 
     tables = _stream_tables(events_dir)
     facts = stream_facts_multi(events_dir)
@@ -773,12 +778,7 @@ def write_decoded_changes_multi(events_dir: str, out_path: str) -> str:
         }
     ds = ray.data.read_parquet(event_files(events_dir))
     ds = ds.map_batches(MultiDecoder(decoder_specs), batch_format="pyarrow")
-    tmp = out_path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds.write_parquet(tmp)
-    shutil.rmtree(out_path, ignore_errors=True)
-    os.rename(tmp, out_path)
-    return out_path
+    return atomic_write_parquet_dir(ds, out_path)
 
 
 def write_decoded_changes(events_dir: str, out_path: str) -> str:
@@ -790,7 +790,7 @@ def write_decoded_changes(events_dir: str, out_path: str) -> str:
     DuckDB-readable Parquet directory so the driver oracle can state the
     LWW in SQL (round-1 verdict item 6).  Deterministic for a given
     events_dir — the generator is seeded — so re-writes are idempotent."""
-    import shutil
+    from ..state.manifest import atomic_write_parquet_dir
 
     facts = stream_facts(events_dir)
     ddl_events = sorted(facts["ddl_events"], key=lambda d: d["gtid"])
@@ -800,12 +800,7 @@ def write_decoded_changes(events_dir: str, out_path: str) -> str:
         Decoder(ddl_gtid=ddl_gtid, ddl_columns=_ddl_columns(ddl_events)),
         batch_format="pyarrow",
     )
-    tmp = out_path + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    ds.write_parquet(tmp)
-    shutil.rmtree(out_path, ignore_errors=True)
-    os.rename(tmp, out_path)
-    return out_path
+    return atomic_write_parquet_dir(ds, out_path)
 
 
 def incremental_replay(events_dir: str, out_dir: str, **replay_kw) -> dict:

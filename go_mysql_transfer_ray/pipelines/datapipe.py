@@ -135,6 +135,24 @@ def exact_dedup(
 # shared distributed candidate-pair machinery
 
 
+def blob_u64_stream(arr: "pa.BinaryArray"):
+    """(hash values <u8, per-row start, per-row count) zero-copy off a
+    binary column whose blobs are packed little-endian u64 hashes (the
+    layout ``ngram_sets_ds`` / the minhash signature blobs use).
+
+    Handles a sliced array (``arr.offset``) and Arrow's 64-byte buffer
+    padding (trim to a multiple of 8 before the <u8 view)."""
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32)[
+        arr.offset: arr.offset + len(arr) + 1
+    ]
+    raw = np.frombuffer(bufs[2], dtype=np.uint8)
+    vals = raw[: (len(raw) // 8) * 8].view("<u8")
+    starts = (off[:-1] // 8).astype(np.int64)
+    cnts = (np.diff(off) // 8).astype(np.int64)
+    return vals, starts, cnts
+
+
 def _mix_to_part(arrs: "list[np.ndarray]", num_partitions: int) -> np.ndarray:
     """Partition id from one or more integer columns.
 
@@ -1241,20 +1259,7 @@ def ngram_jaccard_dedup(
         banded, ["anchor"], id_col, num_partitions=num_partitions
     )
 
-    def _blob_stream(arr: pa.BinaryArray):
-        """(hash values <u8, per-row start, per-row count) zero-copy off
-        the Arrow buffers — all blobs are multiples of 8 bytes."""
-        bufs = arr.buffers()
-        off = np.frombuffer(bufs[1], dtype=np.int32)[
-            arr.offset: arr.offset + len(arr) + 1
-        ]
-        raw = np.frombuffer(bufs[2], dtype=np.uint8)
-        # Arrow pads buffers to 64 bytes; trim to a multiple of 8 before
-        # the <u8 view (every blob is a whole number of u64 hashes)
-        vals = raw[: (len(raw) // 8) * 8].view("<u8")
-        starts = (off[:-1] // 8).astype(np.int64)
-        cnts = (np.diff(off) // 8).astype(np.int64)
-        return vals, starts, cnts
+    _blob_stream = blob_u64_stream
 
     def _true_jaccard_keep(t, va: pa.BinaryArray, vb: pa.BinaryArray):
         """Exact Jaccard over the batch's DISTINCT pairs: both blob

@@ -71,11 +71,13 @@ class DeltaWriter:
         h = hashlib.sha1()
         h.update(len(part).to_bytes(8, "little"))
         h.update(np.ascontiguousarray(part).tobytes())
-        # EVERY non-partition column is hashed (vectorized row-hash per
-        # column, full digest).  Hashing only the first column collided
-        # for batches that agreed on the key but differed in payload
-        # (e.g. same 'key'/'_part', different 'gtid'), silently
-        # overwriting one batch's deltas with another's.
+        # EVERY non-partition column contributes to the stem (hashing
+        # only the first column collided for batches that agreed on the
+        # key but differed in payload — same 'key'/'_part', different
+        # 'gtid' — silently overwriting one batch's deltas with
+        # another's).  Per column we fold the vectorized row-hash into a
+        # sum + 16-point strided sample: content-distinguishing, but the
+        # sha1 input stays O(1) per column.
         for name in batch.column_names:
             if name == "_part":
                 continue
@@ -84,8 +86,9 @@ class DeltaWriter:
                 hv = pd.util.hash_array(
                     col.to_numpy(zero_copy_only=False), categorize=False
                 )
-                h.update(np.ascontiguousarray(hv).tobytes())
-            except TypeError:
+                h.update(hv.sum(dtype=np.uint64).tobytes())
+                h.update(np.ascontiguousarray(hv[:: max(1, len(hv) // 16)]).tobytes())
+            except (TypeError, ValueError):
                 # nested / non-hashable dtype: fall back to the Arrow
                 # buffer bytes of the combined chunk (still vectorized)
                 for chunk in col.chunks if hasattr(col, "chunks") else [col]:

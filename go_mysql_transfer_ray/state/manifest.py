@@ -34,6 +34,23 @@ def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifests")
 
 
+def atomic_write_parquet_dir(ds, out_path: str) -> str:
+    """Write a Dataset as a Parquet directory with tmp-dir + rename swap.
+
+    Readers see either the previous complete directory or the new one,
+    never a partial write — the directory-level analogue of the
+    manifest's write-temp + ``os.replace``.  Used by the decoded-change
+    and oracle-relation exports (idempotent re-writes)."""
+    import shutil
+
+    tmp = out_path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(out_path, ignore_errors=True)
+    os.rename(tmp, out_path)
+    return out_path
+
+
 def write_partition(
     out_dir: str, part: int, table: pa.Table, gtid_watermark: int,
     plan: str = "",

@@ -94,3 +94,38 @@ def test_delta_writer_no_collision_same_key_different_payload(tmp_path):
         for f in files
     )
     assert total == 100, f"expected both batches' rows on disk, got {total}"
+
+
+def test_delta_writer_nested_column_fallback(tmp_path):
+    """A list-typed column must not crash the stem (pandas raises
+    ValueError, not TypeError, for object arrays of ndarrays — the
+    nested-dtype fallback has to catch both) and must still produce
+    retry-idempotent, content-distinct filenames."""
+    import glob
+    import os
+
+    from go_mysql_transfer_ray.stages import shuffle as shfl
+
+    d = str(tmp_path / "shuf")
+    shfl.prepare_shuffle_dir(d, 4, {"t": 1})
+
+    def mk(base: float) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.array([f"k{i}" for i in range(20)], pa.string()),
+                "vec": pa.array(
+                    [[base + i, base - i] for i in range(20)],
+                    pa.list_(pa.float32()),
+                ),
+                "_part": pa.array([i % 4 for i in range(20)], pa.int32()),
+            }
+        )
+
+    w = shfl.DeltaWriter(d)
+    w(mk(1.0))
+    files1 = sorted(glob.glob(os.path.join(d, "part=*", "*.parquet")))
+    assert files1
+    w(mk(1.0))  # retry: same content → same names
+    assert sorted(glob.glob(os.path.join(d, "part=*", "*.parquet"))) == files1
+    w(mk(2.0))  # different vectors, same keys/_part → new names
+    assert len(sorted(glob.glob(os.path.join(d, "part=*", "*.parquet")))) > len(files1)
