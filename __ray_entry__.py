@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 from go_mysql_transfer_ray.functions import text as textfn
 from go_mysql_transfer_ray.functions.coerce import ColumnSpec
@@ -700,6 +700,97 @@ def q_stratified_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def q_repetition_stats(sf_dir: str):
+    """Gopher-style line-repetition quality filter (duplicate-line
+    character fraction per doc) — all-integer outputs so the SQL oracle
+    restates the flag bit-for-bit."""
+    return datapipe.repetition_stats(_docs(sf_dir)).select_columns(
+        ["doc_id", "n_lines", "n_distinct_lines", "dup_line_chars",
+         "line_chars", "flagged"]
+    )
+
+
+def q_vocab_topk(sf_dir: str):
+    """Global token-frequency top-100: per-batch value_counts partials →
+    small groupby-sum over the vocabulary → deterministic sort+limit
+    (ties broken by token text)."""
+    return datapipe.vocab_topk(_docs(sf_dir), k=100)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag docs sharing any 8-token shingle
+    with the deterministic benchmark subset (doc_id % 37 == 0).  The
+    engine's k=8 shingle-hash stream is exported so the oracle can
+    restate the distinct-overlap counts in SQL."""
+    docs = _docs(sf_dir)
+
+    def explode(t: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(t.column("text"))
+        sh, soff = textfn.shingle_hashes(flat, off, k=8)
+        ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, np.diff(soff))),
+                "h": pa.array(sh, pa.uint64()),
+            }
+        )
+
+    _write_rel(docs.map_batches(explode, batch_format="pyarrow"), "decon_stream")
+    return datapipe.decontaminate(docs)
+
+
+def q_json_props_stats(sf_dir: str):
+    """JSON-column normalization (the reference parses JSON column values
+    into structured data, /root/reference/service/endpoint/endpoint.go:
+    136-145) + the partial-aggregation pattern: extract ``$.k`` from the
+    events ``props`` JSON with one vectorized RE2 kernel, pre-aggregate
+    per batch, merge partials in a small groupby."""
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(
+            pc.struct_field(
+                pc.extract_regex(t.column("props"), r'"k"\s*:\s*(?P<k>-?\d+)'), "k"
+            ),
+            pa.int64(),
+        )
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "k": k.to_numpy(zero_copy_only=False),
+            }
+        )
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(n_events=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(
+            g,
+            schema=pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n_events", pa.int64()),
+                    ("sum_k", pa.int64()),
+                    ("max_k", pa.int64()),
+                ]
+            ),
+            preserve_index=False,
+        )
+
+    return (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_k", alias_name="sum_k"),
+            Max("max_k", alias_name="max_k"),
+        )
+    )
+
+
 def q_group_lang_stats(sf_dir: str):
     def partial(t: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -798,6 +889,7 @@ _NGRAM_SETS_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ngram_sets")
 _ANN_LSH_PRUNED_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ann_lsh_pruned")
 _ANN_IVF_PRUNED_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ann_ivf_pruned")
 _SHINGLE_STREAM_REL = os.path.join(_SKETCH_ORACLE_ROOT, "shingle_stream")
+_DECON_STREAM_REL = os.path.join(_SKETCH_ORACLE_ROOT, "decon_stream")
 _ANN_QUERIES_REL = os.path.join(_SKETCH_ORACLE_ROOT, "ann_queries")
 
 
@@ -1389,6 +1481,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_lang_stats": q_group_lang_stats,
         "redact_text": q_redact_text,
         "stratified_sample": q_stratified_sample,
+        "repetition_stats": q_repetition_stats,
+        "vocab_topk": q_vocab_topk,
+        "decontaminate": q_decontaminate,
+        "json_props_stats": q_json_props_stats,
         "lang_id": q_lang_id,
         "fingerprints": q_fingerprints,
         "minhash_dedup": q_minhash_dedup,
@@ -2094,6 +2190,83 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id AS doc_id, min(r) AS cluster_id
             FROM reach GROUP BY id
+        """,
+        # Gopher-style line repetition restated from RAW TEXT: split on
+        # \n, per-(doc,line) occurrence counts, duplicate-line chars as
+        # integer sums, flag via cross-multiplied integers (no division)
+        "repetition_stats": """
+            WITH l AS (
+                SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+                FROM documents
+            ),
+            per AS (
+                SELECT doc_id, line, count(*) AS c, length(line) AS ch
+                FROM l GROUP BY doc_id, line
+            ),
+            agg AS (
+                SELECT doc_id,
+                       sum(c) AS n_lines,
+                       count(*) AS n_distinct_lines,
+                       sum(CASE WHEN c >= 2 THEN c * ch ELSE 0 END)
+                           AS dup_line_chars,
+                       sum(c * ch) AS line_chars
+                FROM per GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_lines AS BIGINT) AS n_lines,
+                   CAST(n_distinct_lines AS BIGINT) AS n_distinct_lines,
+                   CAST(dup_line_chars AS BIGINT) AS dup_line_chars,
+                   CAST(line_chars AS BIGINT) AS line_chars,
+                   CAST(CASE WHEN dup_line_chars * 1000 > line_chars * 300
+                             THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM agg
+        """,
+        # global token top-100 from RAW TEXT: same [^ \t\n\r]+ token
+        # definition (RE2 parses the escapes identically on both sides),
+        # deterministic (cnt DESC, token ASC) tie-break
+        "vocab_topk": """
+            WITH toks AS (
+                SELECT unnest(regexp_split_to_array(text, '[ \t\n\r]+'))
+                       AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS cnt
+            FROM toks WHERE token <> ''
+            GROUP BY token
+            ORDER BY cnt DESC, token ASC
+            LIMIT 100
+        """,
+        # benchmark decontamination over the engine's exported 8-token
+        # shingle stream: distinct-hash overlap vs the doc_id%37 subset
+        "decontaminate": f"""
+            WITH s AS (
+                SELECT doc_id, h
+                FROM read_parquet('{_DECON_STREAM_REL}/*.parquet')
+            ),
+            bench AS (SELECT DISTINCT h FROM s WHERE doc_id % 37 = 0),
+            per AS (
+                SELECT s.doc_id,
+                       count(DISTINCT s.h) AS n_shingles,
+                       count(DISTINCT b.h) AS n_hits
+                FROM s LEFT JOIN bench b ON b.h = s.h
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(per.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(per.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(CASE WHEN coalesce(per.n_hits, 0) > 0
+                             THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+            FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        # JSON prop extraction + aggregation from RAW props strings
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         # winnowing restated over the engine's exported 5-gram hash
         # stream (h is UBIGINT so MIN is u64 order): per-window(4) min

@@ -115,6 +115,73 @@ def lang_id(text) -> pa.Array:
     return pa.array(np.where(hit, names[best], "und"), pa.string())
 
 
+def line_repetition(text) -> dict[str, pa.Array]:
+    """Gopher-style line-repetition stats, exact and fully vectorized.
+
+    For each document: split on ``\\n`` and measure how much of it is
+    exact-duplicate lines (the "fraction of characters in duplicate
+    lines" filter of Rae et al., Gopher §A1.2 — a standard LLM-corpus
+    quality signal).  Everything returned is an INTEGER so an SQL oracle
+    can restate it bit-for-bit (no float division):
+
+      n_lines          lines in the doc (split count)
+      n_distinct_lines distinct line strings
+      dup_line_chars   total characters of every line instance whose
+                       exact text occurs >= 2 times in the doc
+      line_chars       total characters across all lines
+
+    Line identity is EXACT (Arrow ``dictionary_encode`` codes — not a
+    hash, so no collision can miscount; CLAUDE.md's factorize caveat
+    doesn't arise because codes never leave this kernel).  The per-doc
+    grouping is one lexsort + run-length pass over the flat line stream.
+    """
+    a = _arr(text)
+    lines = pc.split_pattern(a, "\n")
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    flat = lines.flatten()
+    offsets = lines.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_len = np.diff(offsets)
+    n_docs = len(doc_len)
+    n = len(flat)
+    empty = {
+        "n_lines": pa.array(doc_len, pa.int64()),
+        "n_distinct_lines": pa.array(np.zeros(n_docs, np.int64)),
+        "dup_line_chars": pa.array(np.zeros(n_docs, np.int64)),
+        "line_chars": pa.array(np.zeros(n_docs, np.int64)),
+    }
+    if n == 0:
+        return empty
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = (
+        pc.dictionary_encode(flat)
+        .indices.to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    doc_id = np.repeat(np.arange(n_docs, dtype=np.int64), doc_len)
+    order = np.lexsort((codes, doc_id))
+    d_s, c_s, len_s = doc_id[order], codes[order], lens[order]
+    new = np.empty(n, bool)
+    new[0] = True
+    new[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+    starts = np.flatnonzero(new)
+    run_len = np.diff(np.append(starts, n))
+    inst_dup = np.repeat(run_len >= 2, run_len)
+    return {
+        "n_lines": pa.array(doc_len, pa.int64()),
+        "n_distinct_lines": pa.array(
+            np.bincount(d_s[starts], minlength=n_docs).astype(np.int64)
+        ),
+        "dup_line_chars": pa.array(
+            np.bincount(d_s, weights=np.where(inst_dup, len_s, 0), minlength=n_docs
+                        ).astype(np.int64)
+        ),
+        "line_chars": pa.array(
+            np.bincount(doc_id, weights=lens, minlength=n_docs).astype(np.int64)
+        ),
+    }
+
+
 # ---------------------------------------------------------------------------
 # token hashing shared by fingerprint / minhash / simhash
 

@@ -1776,3 +1776,154 @@ def connected_components(
         .groupby("doc_id")
         .aggregate(Min("cluster_id", alias_name="cluster_id"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus quality / curation operators (round 3 additions)
+
+
+def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     permille_threshold: int = 300) -> "ray.data.Dataset":
+    """Gopher-style line-repetition filter signal (Rae et al. §A1.2):
+    per-document integer counts of duplicate-line characters plus a
+    ``flagged`` column (1 iff dup chars exceed ``permille_threshold``/1000
+    of all line chars — compared via cross-multiplied INTEGERS so the SQL
+    oracle reproduces the flag bit-for-bit, no float division).
+
+    Stateless ``map_batches``; the kernel (functions/text.py
+    ``line_repetition``) is one dictionary-encode + lexsort pass per
+    batch — no Python per row, no shuffle at any scale."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        stats = textfn.line_repetition(t.column(text_col))
+        dup = stats["dup_line_chars"].to_numpy(zero_copy_only=False)
+        tot = stats["line_chars"].to_numpy(zero_copy_only=False)
+        flagged = (dup * 1000 > tot * permille_threshold).astype(np.int64)
+        out = t.drop_columns(
+            [c for c in (*stats, "flagged") if c in t.column_names]
+        )
+        for name, arr in stats.items():
+            out = out.append_column(name, arr)
+        return out.append_column("flagged", pa.array(flagged))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def vocab_topk(ds: "ray.data.Dataset", text_col: str = "text",
+               k: int = 100) -> "ray.data.Dataset":
+    """Global token-frequency top-k — the vocabulary-building primitive.
+
+    Classic pre-aggregation shape: each batch emits its OWN (token, cnt)
+    partial via a vectorized ``value_counts`` (the exchange then carries
+    one row per distinct token per block, not one per token instance),
+    a small ``groupby(token).sum`` merges partials, and the final
+    sort+limit runs over the vocabulary — corpus-size-independent.
+    Tokens are ``[^ \\t\\n\\r]+`` runs (exactly restatable in SQL via
+    regexp_split); ties break by token text so top-k is deterministic."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(t.column(text_col), "[ \t\n\r]+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if len(flat):
+            flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "cnt": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    vocab = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return vocab.sort(["cnt", "token"], descending=[True, False]).limit(k)
+
+
+class _Decontaminator:
+    """Actor-pool stage: benchmark shingle-hash set fetched ONCE per actor
+    (broadcast via ``ray.put``), membership per batch via searchsorted."""
+
+    def __init__(self, bench_ref, k: int):
+        self.bench = np.sort(ray.get(bench_ref)).astype(np.uint64)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, off = textfn.hash_tokens(t.column("text"))
+        sh, soff = textfn.shingle_hashes(flat, off, k=self.k)
+        n_docs = len(soff) - 1
+        doc = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(soff))
+        # per-doc DISTINCT shingles (one lexsort over the batch stream)
+        order = np.lexsort((sh, doc))
+        d_s, h_s = doc[order], sh[order]
+        first = np.empty(len(d_s), bool)
+        if len(d_s):
+            first[0] = True
+            first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+        d_u, h_u = d_s[first], h_s[first]
+        if len(self.bench):
+            pos = np.searchsorted(self.bench, h_u)
+            hit = (pos < len(self.bench)) & (
+                self.bench[np.minimum(pos, len(self.bench) - 1)] == h_u
+            )
+        else:
+            hit = np.zeros(len(h_u), bool)
+        n_shingles = np.bincount(d_u, minlength=n_docs).astype(np.int64)
+        n_hits = np.bincount(d_u[hit], minlength=n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_shingles": pa.array(n_shingles),
+                "n_hits": pa.array(n_hits),
+                "contaminated": pa.array((n_hits > 0).astype(np.int64)),
+            }
+        )
+
+
+def decontaminate(
+    ds: "ray.data.Dataset",
+    *,
+    bench_mod: int = 37,
+    k: int = 8,
+    concurrency: "int | tuple[int, int]" = (1, 4),
+) -> "ray.data.Dataset":
+    """Benchmark decontamination: flag corpus documents sharing any
+    ``k``-token shingle with the benchmark subset (the standard
+    eval-leakage guard of LLM corpus curation, cf. GPT-3 §C / PaLM §7 —
+    n-gram-overlap decontamination).
+
+    The benchmark here is the deterministic subset ``doc_id % bench_mod
+    == 0`` (stand-in for an external eval set).  Shape: the benchmark
+    side is SMALL by definition, so its distinct shingle hashes are
+    collected once and broadcast via ``ray.put`` (never re-shipped per
+    batch); the corpus streams through a stateless membership test —
+    no shuffle, no pairwise stage, scan volume = one pass at any scale.
+    Output per doc: distinct-shingle count, distinct overlapping count,
+    and ``contaminated`` (0/1)."""
+
+    def bench_hashes(t: pa.Table) -> pa.Table:
+        ids = (
+            pc.cast(t.column("doc_id"), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        sub = t.filter(pa.array(ids % bench_mod == 0))
+        flat, off = textfn.hash_tokens(sub.column("text"))
+        sh, _ = textfn.shingle_hashes(flat, off, k=k)
+        return pa.table({"h": pa.array(np.unique(sh), pa.uint64())})
+
+    # small side: distinct benchmark hashes -> one driver array -> ray.put
+    bench_tbl = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
+    bench = np.unique(bench_tbl["h"].to_numpy().astype(np.uint64))
+    bench_ref = ray.put(bench)
+
+    return ds.map_batches(
+        _Decontaminator,
+        fn_constructor_args=(bench_ref, k),
+        concurrency=concurrency,
+        batch_format="pyarrow",
+    )

@@ -363,3 +363,74 @@ def test_short_doc_shingles_batch_independent():
     s1, o1 = textfn.shingle_hashes(a1, np.array([0, 2, 6]), k=5)
     s2, o2 = textfn.shingle_hashes(a2, np.array([0, 2, 6]), k=5)
     assert s1[o1[0]:o1[1]].tolist() == s2[o2[0]:o2[1]].tolist()
+
+
+def test_line_repetition_matches_python_oracle():
+    texts = [
+        "a\nb\na\n",            # 'a' duplicated, trailing empty line
+        "xx",                    # single line, no newline
+        "",                      # empty doc -> one empty line
+        "l1\nl1\nl1\nzz",        # 3x duplicate + unique
+        "\n\n",                  # three empty lines (dup, zero chars)
+    ]
+    out = {k: v.to_pylist() for k, v in
+           textfn.line_repetition(pa.array(texts)).items()}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        from collections import Counter
+        c = Counter(lines)
+        assert out["n_lines"][i] == len(lines)
+        assert out["n_distinct_lines"][i] == len(c)
+        assert out["dup_line_chars"][i] == sum(
+            len(l) for l in lines if c[l] >= 2
+        )
+        assert out["line_chars"][i] == sum(len(l) for l in lines)
+
+
+def test_repetition_stats_flags_spammy_doc():
+    spam = "buy now\n" * 50 + "unique closing line"
+    clean = "\n".join(f"line number {i} is unlike the others" for i in range(50))
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": spam},
+        {"doc_id": 1, "text": clean},
+    ])
+    rows = {r["doc_id"]: r for r in datapipe.repetition_stats(ds).take_all()}
+    assert rows[0]["flagged"] == 1
+    assert rows[1]["flagged"] == 0
+    assert rows[1]["dup_line_chars"] == 0
+
+
+def test_vocab_topk_counts_and_tiebreak():
+    ds = ray.data.from_items(
+        [{"text": "b b b a a c"}, {"text": "a  d\tb\nc"}]
+    )
+    got = [(r["token"], r["cnt"]) for r in
+           datapipe.vocab_topk(ds, k=3).take_all()]
+    # counts: a=3, b=4, c=2, d=1 -> top3 = b(4), a(3), c(2)
+    assert got == [("b", 4), ("a", 3), ("c", 2)]
+
+
+def test_decontaminate_flags_overlap_only(docs):
+    out = {r["doc_id"]: r for r in datapipe.decontaminate(docs).take_all()}
+    n = len(out)
+    assert n == docs.count()
+    # benchmark docs overlap themselves (when they have >=1 shingle)
+    for did, r in out.items():
+        if did % 37 == 0 and r["n_shingles"] > 0:
+            assert r["contaminated"] == 1
+            assert 0 < r["n_hits"] <= r["n_shingles"]
+        if r["n_hits"] == 0:
+            assert r["contaminated"] == 0
+
+
+def test_decontaminate_planted_overlap():
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ds = ray.data.from_items([
+        {"doc_id": 0, "text": bench_text},                    # benchmark (0%37==0)
+        {"doc_id": 1, "text": "totally unrelated words here dog cat tree"},
+        {"doc_id": 2, "text": "prefix " + bench_text + " suffix"},  # contains bench 8-grams
+    ])
+    out = {r["doc_id"]: r for r in datapipe.decontaminate(ds).take_all()}
+    assert out[0]["contaminated"] == 1
+    assert out[1]["contaminated"] == 0
+    assert out[2]["contaminated"] == 1
