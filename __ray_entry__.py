@@ -208,6 +208,86 @@ def q_cdc_last_state_per_user(sf_dir: str) -> pa.Table:
     )
 
 
+_INGEST_ROOT = "/tmp/gmt_ray_entry_ingest"
+_INGEST_IMG_FIELDS = ["repo", "path", "commit", "lang", "content"]
+
+
+def _doc_envelopes(t: pa.Table) -> pa.Table:
+    """documents batch → Debezium-style envelope rows (pure Arrow):
+    one insert per doc; an update (commit c0→c1, content prefixed 'u:')
+    for doc_id%3==0; a delete for doc_id%7==0.  gtid = doc_id*3+{1,2,3}
+    keeps per-key log order without needing the corpus size."""
+    ids = pc.cast(t.column("doc_id"), pa.string())
+    path = pc.binary_join_element_wise("doc", ids, ".txt", "")
+    repo, lang, text = t.column("source"), t.column("lang"), t.column("text")
+    img_type = pa.struct([(f, pa.string()) for f in _INGEST_IMG_FIELDS])
+
+    def img(commit_arr, content_arr, repo=repo, path=path, lang=lang):
+        return pa.StructArray.from_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in (repo, path, commit_arr, lang, content_arr)],
+            names=_INGEST_IMG_FIELDS,
+        )
+
+    doc = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(doc)
+    upd = pa.array(doc % 3 == 0)
+    dele = pa.array(doc % 7 == 0)
+    c0 = pa.array(np.full(n, "c0"), pa.string())
+    c1 = pa.array(np.full(n, "c1"), pa.string())
+    utext = pc.binary_join_element_wise("u:", text, "")
+
+    def envelope(mask, op, gtid_off, before, after):
+        base = pa.table(
+            {
+                "op": pa.array(np.full(n, op), pa.string()),
+                "gtid": pa.array(doc * 3 + gtid_off, pa.int64()),
+                "seq": pa.array(np.zeros(n, np.int32)),
+                "ts_ms": pa.array(doc * 1000 + gtid_off, pa.int64()),
+                "before": before,
+                "after": after,
+            }
+        )
+        return base if mask is None else base.filter(mask)
+
+    last_commit = pc.if_else(upd, c1, c0)
+    last_content = pc.if_else(upd, utext, text)
+    parts = [
+        envelope(None, "c", 1, pa.nulls(n, img_type), img(c0, text)),
+        envelope(upd, "u", 2, img(c0, text), img(c1, utext)),
+        envelope(dele, "d", 3, img(last_commit, last_content),
+                 pa.nulls(n, img_type)),
+    ]
+    return pa.concat_tables(parts)
+
+
+def q_ingest_jsonl_replay(sf_dir: str) -> pa.Table:
+    """External-source ingestion end-to-end: a Debezium-style JSONL change
+    stream (op c/u/d + before/after images — the public interchange shape;
+    the reference's only source is a live replication connection,
+    /root/reference/service/transfer_service.go:106-134) is derived
+    deterministically from ``documents``, ingested by
+    ``sources.ingest.jsonl_to_event_shards`` into canonical event shards,
+    and replayed through the flagship lake merge.  The oracle states the
+    surviving LWW row images straight over ``documents``."""
+    from go_mysql_transfer_ray.sources.ingest import jsonl_to_event_shards
+
+    root = os.path.join(
+        _INGEST_ROOT, os.path.basename(os.path.normpath(sf_dir))
+    )
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    stream = os.path.join(root, "stream")
+    _docs(sf_dir).map_batches(
+        _doc_envelopes, batch_format="pyarrow"
+    ).write_json(stream)
+    events = jsonl_to_event_shards(stream, os.path.join(root, "events"))
+    lake = os.path.join(root, "lake")
+    cdc.replay(events, lake, num_partitions=16)
+    return cdc.lake_table(lake).select(_INGEST_IMG_FIELDS)
+
+
 def q_mongo_fieldwise_state(sf_dir: str):
     """K2 Mongo $set partial-update semantics: purchase=insert (full doc),
     error=delete, others=update carrying ONLY the value field — the final
@@ -1456,6 +1536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_repos": q_cdc_replay_repos,
         "cdc_replay_two_tables": q_cdc_replay_two_tables,
         "cdc_last_state_per_user": q_cdc_last_state_per_user,
+        "ingest_jsonl_replay": q_ingest_jsonl_replay,
         "mongo_fieldwise_state": q_mongo_fieldwise_state,
         "metrics_action_counts": q_metrics_action_counts,
         "stock_projection_rule": q_stock_projection_rule,
@@ -1553,6 +1634,19 @@ def oracle_sql() -> dict[str, str]:
                    plan AS tier,
                    CASE WHEN "table" = 'users' THEN 'cdc' END AS src
             FROM ranked WHERE rn = 1 AND op <> 'delete'
+        """,
+        # the JSONL-envelope ingestion query derives its stream
+        # deterministically from documents (insert per doc, update for
+        # doc_id%3==0 with commit c1 + 'u:' content, delete for
+        # doc_id%7==0), so the surviving LWW images are statable directly
+        "ingest_jsonl_replay": """
+            SELECT source AS repo,
+                   'doc' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+                   CASE WHEN doc_id % 3 = 0 THEN 'c1' ELSE 'c0' END AS "commit",
+                   lang,
+                   CASE WHEN doc_id % 3 = 0 THEN 'u:' || text ELSE text END AS content
+            FROM documents
+            WHERE doc_id % 7 <> 0
         """,
         "cdc_last_state_per_user": """
             WITH ranked AS (
