@@ -118,6 +118,22 @@ def cmd_position(args) -> dict:
     return {"out": args.out, "partitions": n, "watermark": args.force_watermark}
 
 
+def cmd_run(args) -> dict:
+    """The reference's default mode: run the configured sync
+    (main.go:92-136 — config file → target endpoint → consume).  Parses
+    an app.yml, expands rules against the stream's tables and dispatches
+    to the target pipeline (lake / messages / redis state / script)."""
+    from .config import load_app, run_app
+
+    ray = _ray_session(args.num_cpus)
+    app = load_app(args.config)
+    result = run_app(
+        app, args.events, args.out, num_partitions=args.num_partitions
+    )
+    ray.shutdown()
+    return result
+
+
 def cmd_serve(args) -> dict:
     """Web admin (router.go:23-62 + the promhttp exporter): serve /,
     /metrics, /position over HTTP for an existing lake.  Blocks until
@@ -182,6 +198,13 @@ def main(argv=None) -> None:
     po.add_argument("--out", required=True)
     po.add_argument("--force-watermark", type=int, required=True)
     po.set_defaults(fn=cmd_position)
+
+    rn = sub.add_parser("run", help="run an app.yml-configured sync")
+    rn.add_argument("--config", required=True)
+    rn.add_argument("--events", required=True)
+    rn.add_argument("--out", required=True)
+    rn.add_argument("--num-partitions", type=int, default=16)
+    rn.set_defaults(fn=cmd_run)
 
     sv = sub.add_parser("serve", help="web admin: /, /metrics, /position")
     sv.add_argument("--out", required=True)

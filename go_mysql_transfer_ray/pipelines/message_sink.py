@@ -36,8 +36,9 @@ from .cdc import _ddl_columns, _stream_specs, event_files, stream_facts
 class EnvelopeBuilder:
     """Actor-pool stage: compiled rule plan + per-batch envelope render."""
 
-    def __init__(self, rule_config: RuleConfig, ddl_events: list[dict]):
-        self.plan = RulePlan(rule_config, _stream_specs(ddl_events))
+    def __init__(self, rule_config: RuleConfig, ddl_events: list[dict],
+                 specs=None):
+        self.plan = RulePlan(rule_config, specs or _stream_specs(ddl_events))
         self.reserve_raw = rule_config.reserve_raw_data
 
     def _encode_rows(self, projected: pa.Table) -> list:
@@ -176,24 +177,41 @@ def message_stream(
     events_dir: str,
     rule_config: RuleConfig | None = None,
     *,
+    table: "str | None" = None,
     batch_size: int = 16384,
     concurrency: "int | tuple[int, int]" = (1, 4),
 ) -> "ray.data.Dataset":
-    """Decode + rule + envelope — returns the message Dataset (no shuffle)."""
+    """Decode + rule + envelope — returns the message Dataset (no shuffle).
+
+    ``table``: which stream table to envelope (default the flagship;
+    secondary tables decode against their base columns — in-band DDL
+    applies to the flagship only)."""
+    from ..schema import TABLE_COLUMNS, TABLE_NAME
+
     rule_config = rule_config or RuleConfig()
     facts = stream_facts(events_dir)
     ddl_gtid = [d["gtid"] for d in facts["ddl_events"]] or None
     keep_before = rule_config.reserve_raw_data
+    table = table or TABLE_NAME
+    flagship = table == TABLE_NAME
+    if flagship:
+        specs = None
+        ddl_columns = _ddl_columns(facts["ddl_events"])
+    else:
+        from ..functions.coerce import ColumnSpec
+
+        specs = [ColumnSpec(c) for c in TABLE_COLUMNS[table]]
+        ddl_columns = ()
     ds = ray.data.read_parquet(event_files(events_dir))
     ds = ds.map_batches(
-        Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before,
-                ddl_columns=_ddl_columns(facts["ddl_events"])),
+        Decoder(table=table, ddl_gtid=ddl_gtid if flagship else None,
+                keep_before=keep_before, ddl_columns=ddl_columns),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     return ds.map_batches(
         EnvelopeBuilder,
-        fn_constructor_args=(rule_config, facts["ddl_events"]),
+        fn_constructor_args=(rule_config, facts["ddl_events"], specs),
         concurrency=concurrency,
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -59,6 +59,7 @@ class RedisConfig:
     key_value: str = ""         # redis_key_value (fixed key)
     key_column: str = ""        # redis_key_column
     key_formatter: str = ""     # redis_key_formatter (template)
+    hash_field_prefix: str = "" # redis_hash_field_prefix (redis.go:311-314)
     hash_field_column: str = "" # redis_hash_field_column
     sorted_set_score_column: str = ""  # redis_sorted_set_score_column
 
@@ -69,26 +70,49 @@ class RedisPlan:
     def __init__(self, cfg: RedisConfig, pk_columns: tuple[str, ...]):
         self.cfg = cfg
         self.pk_columns = pk_columns
-        self.render = (
-            compile_template(cfg.key_formatter) if cfg.key_formatter else None
-        )
-        self.render_fields = (
-            template_fields(cfg.key_formatter) if cfg.key_formatter else []
-        )
+        # an explicit key_column disables the formatter at compile time
+        # (rule.go:530-538 clears RedisKeyFormatter when RedisKeyColumn is
+        # set); runtime precedence is key_value > formatter > column/PK
+        # (redis.go:272-283)
+        formatter = "" if cfg.key_column else cfg.key_formatter
+        self.render = compile_template(formatter) if formatter else None
+        self.render_fields = template_fields(formatter) if formatter else []
         # config validation at compile time (clear errors instead of
         # KeyErrors deep inside the merge)
         if cfg.structure == "sortedset" and not cfg.sorted_set_score_column:
             raise ValueError(
                 "structure='sortedset' requires sorted_set_score_column"
+            )  # rule.go:517-519
+        if cfg.structure != "string" and not (
+            cfg.key_value or cfg.key_column or cfg.key_formatter
+        ):
+            # the reference demands a fixed redis_key_value for every
+            # non-string structure (rule.go:482-520); we additionally
+            # accept a key column / formatter (its runtime encodeKey
+            # handles them, redis.go:271-298) but never a silent PK
+            # fallback — that default exists only for STRING
+            # (rule.go:470-478)
+            raise ValueError(
+                f"structure={cfg.structure!r} requires redis_key_value "
+                "(or a key column / formatter)"
             )
-        if cfg.structure == "hash" and not cfg.hash_field_column:
-            raise ValueError("structure='hash' requires hash_field_column")
         # reference quirk (rule.go:520-524): the sorted-set score column
         # index is stored into the hash-field index slot
         if cfg.structure == "sortedset":
             self.field_column = cfg.sorted_set_score_column
+            self.field_columns: tuple[str, ...] = ()
+        elif cfg.structure == "hash":
+            self.field_column = cfg.hash_field_column
+            # hash field defaults to the PK column(s) when unset
+            # (rule.go:486-494 composite loop → separator-less concat)
+            self.field_columns = (
+                (cfg.hash_field_column,) if cfg.hash_field_column else pk_columns
+            )
         else:
             self.field_column = cfg.hash_field_column
+            self.field_columns = (
+                (cfg.hash_field_column,) if cfg.hash_field_column else ()
+            )
 
     def _stringify(self, col: "pa.Array | pa.ChunkedArray") -> pa.Array:
         if isinstance(col, pa.ChunkedArray):
@@ -105,9 +129,13 @@ class RedisPlan:
         return pc.cast(col, pa.string())
 
     def keys(self, batch: pa.Table) -> pa.Array:
-        """Vectorized key construction (redis.go:271-327 precedence:
-        formatter > fixed value > column > PK), prefix applied last."""
+        """Vectorized key construction (redis.go:271-298 precedence:
+        fixed value > formatter > column/PK; key_prefix applies ONLY to
+        the column/PK branch — a fixed or templated key is returned
+        verbatim, redis.go:272-283 early returns)."""
         cfg = self.cfg
+        if cfg.key_value:
+            return pa.array([cfg.key_value] * batch.num_rows, pa.string())
         if self.render is not None:
             # row-wise render is the reference contract, but only box the
             # columns the template actually references — never the payload
@@ -118,10 +146,8 @@ class RedisPlan:
                     if c in batch.column_names and not c.startswith("_")
                 ]
             ).to_pylist()
-            key = pa.array([self.render(r) for r in rows], pa.string())
-        elif cfg.key_value:
-            key = pa.array([cfg.key_value] * batch.num_rows, pa.string())
-        elif cfg.key_column:
+            return pa.array([self.render(r) for r in rows], pa.string())
+        if cfg.key_column:
             key = self._stringify(batch.column(cfg.key_column))
         else:
             parts = [self._stringify(batch.column(c)) for c in self.pk_columns]
@@ -137,9 +163,21 @@ class RedisPlan:
         return key
 
     def fields(self, batch: pa.Table) -> "pa.Array | None":
-        if not self.field_column:
+        """Hash field (redis.go:301-317): explicit column or PK-concat
+        default, hash_field_prefix applied last."""
+        if not self.field_columns:
             return None
-        return self._stringify(batch.column(self.field_column))
+        parts = [self._stringify(batch.column(c)) for c in self.field_columns]
+        field = (
+            pc.binary_join_element_wise(*parts, "")
+            if len(parts) > 1
+            else parts[0]
+        )
+        if self.cfg.hash_field_prefix:
+            field = pc.binary_join_element_wise(
+                pa.scalar(self.cfg.hash_field_prefix), field, ""
+            )
+        return field
 
     def scores(self, batch: pa.Table) -> "pa.Array | None":
         if self.cfg.structure != "sortedset":

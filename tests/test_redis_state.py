@@ -31,18 +31,51 @@ def _changes(rows):
 
 def test_key_precedence_and_prefix():
     t = pa.table({"user": pa.array(["u1"]), "val": pa.array(["x"])})
-    # formatter > fixed > column > pk
+    # fixed value wins over everything (redis.go:272-274 early return)
     p = RedisPlan(
         RedisConfig(key_formatter="k-{{.user}}", key_value="fixed", key_column="user"),
         pk_columns=("user",),
     )
-    assert p.keys(t).to_pylist() == ["k-u1"]
+    assert p.keys(t).to_pylist() == ["fixed"]
     p = RedisPlan(RedisConfig(key_value="fixed", key_column="user"), ("user",))
     assert p.keys(t).to_pylist() == ["fixed"]
+    # formatter beats column/PK at runtime (redis.go:276-283)...
+    p = RedisPlan(RedisConfig(key_formatter="k-{{.user}}"), ("user",))
+    assert p.keys(t).to_pylist() == ["k-u1"]
+    # ...but an explicit key_column clears the formatter at compile time
+    # (rule.go:530-538)
+    p = RedisPlan(
+        RedisConfig(key_formatter="k-{{.user}}", key_column="user"), ("user",)
+    )
+    assert p.keys(t).to_pylist() == ["u1"]
     p = RedisPlan(RedisConfig(key_column="user", key_prefix="pre:"), ("user",))
     assert p.keys(t).to_pylist() == ["pre:u1"]
+    # prefix applies ONLY to the column/PK branch (fixed and templated
+    # keys return verbatim, redis.go:272-283)
+    p = RedisPlan(RedisConfig(key_value="fixed", key_prefix="pre:"), ("user",))
+    assert p.keys(t).to_pylist() == ["fixed"]
+    p = RedisPlan(
+        RedisConfig(key_formatter="k-{{.user}}", key_prefix="pre:"), ("user",)
+    )
+    assert p.keys(t).to_pylist() == ["k-u1"]
     p = RedisPlan(RedisConfig(), pk_columns=("user", "val"))
     assert p.keys(t).to_pylist() == ["u1x"]  # separator-less composite
+
+
+def test_hash_field_default_pk_and_prefix():
+    t = pa.table({"user": pa.array(["u1"]), "val": pa.array(["x"])})
+    # field defaults to PK concat when hash_field_column is unset
+    # (rule.go:486-494), hash_field_prefix applied last (redis.go:311-314)
+    p = RedisPlan(
+        RedisConfig(structure="hash", key_value="h", hash_field_prefix="f_"),
+        pk_columns=("user", "val"),
+    )
+    assert p.fields(t).to_pylist() == ["f_u1x"]
+    p = RedisPlan(
+        RedisConfig(structure="hash", key_value="h", hash_field_column="val"),
+        pk_columns=("user",),
+    )
+    assert p.fields(t).to_pylist() == ["x"]
 
 
 def test_string_lww_and_delete(ray_session):
