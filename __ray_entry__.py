@@ -723,15 +723,27 @@ def _query_vectors(sf_dir: str, n: int = 4) -> np.ndarray:
 
 
 def q_doc_token_counts(sf_dir: str):
+    """Whitespace + BPE-ish-pre-tokenizer token counts, both pure
+    ``count_substring_regex`` kernels (functions/text.py)."""
+
     def fn(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
                 "n_tokens": textfn.token_count(t.column("text")),
+                "n_bpe_tokens": textfn.bpe_ish_token_count(t.column("text")),
             }
         )
 
     return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str):
+    """Context-window chunking: 128-char windows, stride 96 (25% overlap)
+    — the training-context explode step (datapipe.chunk_documents)."""
+    return datapipe.chunk_documents(
+        _docs(sf_dir), text_col="text", id_col="doc_id", size=128, stride=96
+    )
 
 
 def q_doc_quality(sf_dir: str):
@@ -1555,6 +1567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q_sessionize,
         "asof_last_purchase": q_asof_last_purchase,
         "doc_token_counts": q_doc_token_counts,
+        "chunk_documents": q_chunk_documents,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "train_test_split": q_train_test_split,
@@ -1783,8 +1796,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN trim(text) = '' THEN 0
                         ELSE array_length(string_split_regex(trim(text), '\s+'))
-                   END AS n_tokens
+                   END AS n_tokens,
+                   coalesce(array_length(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')), 0)
+                     AS n_bpe_tokens
             FROM documents
+        """,
+        # 128-char windows, stride 96: window k starts at k*96; k=0 always
+        # emitted, k>=1 iff the doc extends past the previous window
+        "chunk_documents": r"""
+            SELECT doc_id, t.k AS chunk_id,
+                   substr(text, CAST(t.k * 96 + 1 AS BIGINT), 128) AS chunk
+            FROM documents,
+                 unnest(generate_series(0,
+                     CASE WHEN length(text) <= 128 THEN 0
+                          ELSE CAST(ceil((length(text) - 128) / 96.0) AS BIGINT)
+                     END)) AS t(k)
         """,
         "doc_quality": r"""
             SELECT doc_id,

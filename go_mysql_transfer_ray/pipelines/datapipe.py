@@ -1493,6 +1493,64 @@ def redact_text(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 128,
+    stride: int = 96,
+) -> "ray.data.Dataset":
+    """Context-window chunking: explode each document into fixed-size
+    character windows with overlap (``stride < size``) — the standard
+    prep step that turns long documents into training-context rows.
+
+    Windows start at ``k*stride`` for ``k = 0..max_k`` where
+    ``max_k = 0`` if ``len <= size`` else ``ceil((len-size)/stride)``;
+    the last window may be shorter, every character is covered, and a
+    document never emits a window that starts at/after its end.
+
+    Vectorization: one ``utf8_slice_codeunits`` kernel per chunk INDEX
+    (the loop is over k, bounded by the longest doc in the batch — each
+    iteration slices the whole remaining batch at once).  Stateless and
+    embarrassingly parallel: no shuffle, output streams block-by-block,
+    so it holds at any corpus size."""
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got {stride} > {size}")
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t.column(text_col)
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = t.column(id_col)
+        n = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        parts = []
+        k = 0
+        while True:
+            mask = np.ones(len(n), bool) if k == 0 else (n > size + (k - 1) * stride)
+            if not mask.any():
+                break
+            m = pa.array(mask)
+            chunk = pc.utf8_slice_codeunits(
+                txt.filter(m), start=k * stride, stop=k * stride + size
+            )
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids.filter(m),
+                        "chunk_id": pa.array(
+                            np.full(int(mask.sum()), k, np.int64)
+                        ),
+                        "chunk": chunk,
+                    }
+                )
+            )
+            k += 1
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def stratified_sample(
     ds: "ray.data.Dataset",
     *,

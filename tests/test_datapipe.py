@@ -434,3 +434,30 @@ def test_decontaminate_planted_overlap():
     assert out[0]["contaminated"] == 1
     assert out[1]["contaminated"] == 0
     assert out[2]["contaminated"] == 1
+
+
+def test_chunk_documents_windows():
+    docs = {
+        0: "",                 # empty → one empty chunk
+        1: "a" * 128,          # exactly one window
+        2: "a" * 129,          # one char past → second (short) window
+        3: "x" * 96 + "y" * 96 + "z" * 50,  # 242 chars → k=0,1,2
+        4: "short",
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in docs.items()]
+    )
+    out = datapipe.chunk_documents(ds, size=128, stride=96).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    assert by_doc[0] == {0: ""}
+    assert by_doc[1] == {0: "a" * 128}
+    assert by_doc[2] == {0: "a" * 128, 1: "a" * 33}
+    assert set(by_doc[3]) == {0, 1, 2}
+    # windows start at k*stride and cover every character
+    for k, c in by_doc[3].items():
+        assert c == (docs[3])[k * 96 : k * 96 + 128]
+    covered = max(k * 96 + len(c) for k, c in by_doc[3].items())
+    assert covered == len(docs[3])
+    assert by_doc[4] == {0: "short"}
