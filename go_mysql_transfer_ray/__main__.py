@@ -131,6 +131,16 @@ def cmd_run(args) -> dict:
         app, args.events, args.out, num_partitions=args.num_partitions
     )
     ray.shutdown()
+    srv = result.pop("_admin_server", None)
+    if srv is not None:  # enable_web_admin: serve alongside, like the
+        print(json.dumps(result))  # reference's web.Start (router.go:23-62)
+        try:
+            import time as _t
+
+            while True:
+                _t.sleep(3600)
+        except KeyboardInterrupt:
+            srv.close()
     return result
 
 

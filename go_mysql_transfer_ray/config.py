@@ -417,6 +417,19 @@ def run_app(
                 num_partitions=num_partitions,
             )
             results["tables"] = m
+        if app.enable_web_admin:
+            # the reference serves its admin alongside the sync
+            # (web.Start, router.go:23-62); port=0 → ephemeral.  The
+            # caller owns the handle (cmd_run blocks on it; tests close).
+            from .web_admin import AdminServer
+
+            srv = AdminServer(
+                os.path.join(out_dir, "lake"),
+                port=app.web_admin_port if app.web_admin_port > 0 else 0,
+                destination=app.target,
+            ).start()
+            results["admin_url"] = f"http://127.0.0.1:{srv.port}"
+            results["_admin_server"] = srv
         return results
 
     if app.target in ("kafka", "rocketmq", "rabbitmq"):
@@ -446,7 +459,10 @@ def run_app(
                 )
             else:
                 plan = RedisPlan(r.redis, TABLE_PKS.get(tbl, ("repo", "path")))
-                want_old = r.redis.structure in ("set", "sortedset")
+                # member/position-keyed structures replay updates as
+                # remove-OLD-then-add (redis.go:239-267) — they need the
+                # before image's encoded value
+                want_old = r.redis.structure in ("set", "sortedset", "list")
                 ds, ddl_events = _decoded(
                     events_dir, tbl, keep_before=want_old
                 )
@@ -462,7 +478,7 @@ def run_app(
                 )
                 if r.redis.structure == "list":
                     state = list_state(
-                        ds, plan, value_col="val",
+                        ds, plan, value_col="val", old_value_col="old_val",
                         num_partitions=num_partitions,
                     )
                 else:

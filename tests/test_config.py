@@ -217,3 +217,59 @@ def test_run_app_script_without_lua_raises(events):
     app = load_app(_yaml("script", "    include_columns: repo\n"))
     with pytest.raises(ValueError, match="requires lua_script"):
         run_app(app, events, os.path.join(ROOT, "script_bad"))
+
+
+def test_run_app_redis_list_replay(events):
+    out = os.path.join(ROOT, "redis_l")
+    shutil.rmtree(out, ignore_errors=True)
+    app = load_app(
+        "target: redis\n"
+        "rule:\n"
+        "  -\n"
+        "    table: repos\n"
+        "    include_columns: repo,path,commit\n"
+        "    redis_structure: list\n"
+        "    redis_key_value: repo_list\n"
+    )
+    res = run_app(app, events, out, num_partitions=8)
+    t = pq.read_table(res["tables"]["repos"]["path"])
+    assert t.num_rows > 0
+    assert set(t.column_names) == {"redis_key", "list_pos", "value"}
+    # update = LREM old + RPUSH new; delete = LREM old (redis.go:239-252):
+    # the surviving list must match the lake's live keys one-to-one —
+    # each live (repo,path) contributes exactly its LAST encoded value
+    lake_out = os.path.join(ROOT, "redis_l_lake")
+    shutil.rmtree(lake_out, ignore_errors=True)
+    from go_mysql_transfer_ray.rules import RuleConfig
+
+    cdc.replay(events, lake_out, num_partitions=8,
+               rule_config=RuleConfig(include_columns="repo,path,commit"))
+    lake = cdc.lake_table(lake_out)
+    assert t.num_rows == lake.num_rows
+    import json as _json
+
+    live = {(r["repo"], r["path"]): r["commit"] for r in lake.to_pylist()}
+    for v in t.column("value").to_pylist():
+        row = _json.loads(v)
+        assert live[(row["repo"], row["path"])] == row["commit"]
+
+
+def test_run_app_web_admin_serves_dashboard(events):
+    import urllib.request
+
+    out = os.path.join(ROOT, "admin")
+    shutil.rmtree(out, ignore_errors=True)
+    app = load_app(
+        "target: mongodb\n"
+        "enable_web_admin: true\n"
+        "web_admin_port: 18317\n"
+        "rule:\n  -\n    table: repos\n"
+    )
+    res = run_app(app, events, out, num_partitions=8)
+    srv = res.pop("_admin_server")
+    try:
+        body = urllib.request.urlopen(res["admin_url"], timeout=5).read()
+        state = json.loads(body)
+        assert state["destState"] == 1  # endpoint alive (router.go:87-104)
+    finally:
+        srv.close()
