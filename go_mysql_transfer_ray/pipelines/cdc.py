@@ -458,6 +458,9 @@ def replay(
         import uuid as _uuid
 
         run_id = _uuid.uuid4().hex[:12]
+        # reap buffers a crashed prior driver left behind (they are
+        # detached by necessity — see reap_stale_node_buffers)
+        shfl.reap_stale_node_buffers(run_id)
         try:
             ds.map_batches(
                 shfl.BufferedDeltaWriter(shuffle_dir, run_id),

@@ -1523,8 +1523,17 @@ def chunk_documents(
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
         ids = t.column(id_col)
+        empty = pa.table(
+            {
+                id_col: ids.slice(0, 0),
+                "chunk_id": pa.array([], pa.int64()),
+                "chunk": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
         n = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
-        parts = []
+        parts = [empty]
         k = 0
         while True:
             mask = np.ones(len(n), bool) if k == 0 else (n > size + (k - 1) * stride)
@@ -1949,6 +1958,7 @@ def decontaminate(
     bench_mod: int = 37,
     k: int = 8,
     concurrency: "int | tuple[int, int]" = (1, 4),
+    bench: "np.ndarray | None" = None,
 ) -> "ray.data.Dataset":
     """Benchmark decontamination: flag corpus documents sharing any
     ``k``-token shingle with the benchmark subset (the standard
@@ -1962,7 +1972,11 @@ def decontaminate(
     batch); the corpus streams through a stateless membership test —
     no shuffle, no pairwise stage, scan volume = one pass at any scale.
     Output per doc: distinct-shingle count, distinct overlapping count,
-    and ``contaminated`` (0/1)."""
+    and ``contaminated`` (0/1).
+
+    ``bench``: pre-computed distinct benchmark shingle hashes — pass it
+    when a caller already holds the exploded shingle stream (the oracle
+    export does) to skip the benchmark-side scan."""
 
     def bench_hashes(t: pa.Table) -> pa.Table:
         ids = (
@@ -1975,9 +1989,10 @@ def decontaminate(
         return pa.table({"h": pa.array(np.unique(sh), pa.uint64())})
 
     # small side: distinct benchmark hashes -> one driver array -> ray.put
-    bench_tbl = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
-    bench = np.unique(bench_tbl["h"].to_numpy().astype(np.uint64))
-    bench_ref = ray.put(bench)
+    if bench is None:
+        bench_tbl = ds.map_batches(bench_hashes, batch_format="pyarrow").to_pandas()
+        bench = np.unique(bench_tbl["h"].to_numpy().astype(np.uint64))
+    bench_ref = ray.put(np.asarray(bench, np.uint64))
 
     return ds.map_batches(
         _Decontaminator,

@@ -191,8 +191,10 @@ def jsonl_to_event_shards(
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
-    shutil.rmtree(out_dir, ignore_errors=True)
     ds.write_parquet(tmp)
+    # the write succeeded — only now replace any previous events dir
+    # (write-tmp-then-swap: a failed ingest never destroys the old shards)
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     for i, f in enumerate(sorted(glob.glob(os.path.join(tmp, "*.parquet")))):
         os.replace(f, os.path.join(out_dir, f"events-{i:05d}.parquet"))

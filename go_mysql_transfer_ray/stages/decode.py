@@ -27,7 +27,6 @@ import pyarrow.compute as pc
 
 from ..schema import TABLE_COLUMNS, TABLE_NAME, TABLE_PKS
 
-BASE_WIDTH = 5
 _KEY_SEP = "\x00"  # table identity embedded in the multi-table merge key
 
 
@@ -151,13 +150,15 @@ def decode_batch(
     keep_before: bool = False,
     ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),),
 ) -> pa.Table:
-    """Single-table (repos) decode — the flagship path."""
+    """Single-table decode: columns/PK/arity derive from the named table
+    (the flagship by default; any registered table works — the arity
+    guard must count THAT table's columns or every row is dropped)."""
     return decode_table_batch(
         batch,
         table=table,
-        columns=tuple(TABLE_COLUMNS[TABLE_NAME]),
-        pk_columns=TABLE_PKS[TABLE_NAME],
-        base_width=BASE_WIDTH,
+        columns=tuple(TABLE_COLUMNS[table]),
+        pk_columns=TABLE_PKS[table],
+        base_width=len(TABLE_COLUMNS[table]),
         ddl_gtid=ddl_gtid,
         keep_before=keep_before,
         ddl_columns=ddl_columns,

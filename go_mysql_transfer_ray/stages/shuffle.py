@@ -231,6 +231,35 @@ class BufferedDeltaWriter:
         return pa.table({"_rows": pa.array([n], pa.int64())})
 
 
+def reap_stale_node_buffers(exclude_run_id: str) -> int:
+    """Kill leftover gmtbuf-* actors from PRIOR runs.
+
+    The buffer actors must be detached (their creators are short-lived
+    map tasks — a non-detached actor dies with its owner mid-run), so a
+    driver that crashes before ``flush_node_buffers`` leaks them.  Every
+    node-mode replay sweeps the namespace first, discarding any buffer
+    whose run prefix differs (its deltas are stale by definition: the
+    new run re-prepared the shuffle dir).  Caveat: CONCURRENT node-mode
+    replays in one Ray cluster are not supported — the sweep would kill
+    the other run's buffers."""
+    import ray
+    from ray.util import list_named_actors
+
+    keep = f"gmtbuf-{exclude_run_id}-"
+    reaped = 0
+    for info in list_named_actors(all_namespaces=True):
+        if info["namespace"] != _BUF_NAMESPACE or not info["name"].startswith("gmtbuf-"):
+            continue
+        if info["name"].startswith(keep):
+            continue
+        try:
+            ray.kill(ray.get_actor(info["name"], namespace=info["namespace"]))
+            reaped += 1
+        except ValueError:  # raced with its own teardown
+            pass
+    return reaped
+
+
 def flush_node_buffers(run_id: str) -> int:
     """Flush + tear down every node's delta buffer for ``run_id``.
     Returns the number of residual partition buffers written."""

@@ -273,3 +273,40 @@ def test_run_app_web_admin_serves_dashboard(events):
         assert state["destState"] == 1  # endpoint alive (router.go:87-104)
     finally:
         srv.close()
+
+
+@pytest.fixture(scope="module")
+def multi_events(ray_session):
+    from go_mysql_transfer_ray.sources.binlog import materialize_multi_events
+
+    return materialize_multi_events(
+        BinlogConfig(num_keys=120, avg_events_per_key=2.5, delete_pct=10, seed=3),
+        BinlogConfig(num_keys=60, avg_events_per_key=2.0, delete_pct=10, seed=31),
+        root=os.path.join(ROOT, "multi_events"),
+        shards=2,
+    )
+
+
+def test_run_app_kafka_multi_table_decodes_both(multi_events):
+    # regression: decode_batch once hardcoded the flagship columns/arity,
+    # so a users rule silently produced an EMPTY topic
+    out = os.path.join(ROOT, "kafka_multi")
+    shutil.rmtree(out, ignore_errors=True)
+    app = load_app(
+        "target: kafka\n"
+        "rule:\n"
+        "  -\n"
+        "    table: repos\n"
+        "  -\n"
+        "    table: users\n"
+        "    include_columns: user_id,plan\n"
+    )
+    res = run_app(app, multi_events, out, num_partitions=8)
+    assert set(res["tables"]) == {"repos", "users"}
+    for tbl in ("repos", "users"):
+        t = pq.read_table(res["tables"][tbl]["path"])
+        assert t.num_rows > 0, f"{tbl} topic is empty"
+    env = json.loads(
+        pq.read_table(res["tables"]["users"]["path"]).column("value")[0].as_py()
+    )
+    assert set(env["date"]) == {"user_id", "plan"}

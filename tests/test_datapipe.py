@@ -461,3 +461,12 @@ def test_chunk_documents_windows():
     covered = max(k * 96 + len(c) for k, c in by_doc[3].items())
     assert covered == len(docs[3])
     assert by_doc[4] == {0: "short"}
+
+
+def test_chunk_documents_empty_block():
+    import pyarrow as pa
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+    ds = ray.data.from_arrow(empty)
+    assert datapipe.chunk_documents(ds, size=128, stride=96).count() == 0

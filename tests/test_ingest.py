@@ -90,3 +90,16 @@ def test_unknown_op_code_raises(ray_session):
                             "after": {"repo": "a", "path": "b"}}) + "\n")
     with pytest.raises(Exception, match="unknown envelope op"):
         jsonl_to_event_shards(src, os.path.join(ROOT + "_bad", "events"))
+
+
+def test_failed_reingest_preserves_previous_shards(ingested):
+    """Write-tmp-then-swap: a bad stream must not destroy the old dir."""
+    src = os.path.join(ROOT, "bad.jsonl")
+    with open(src, "w") as f:
+        f.write(json.dumps({"op": "z", "gtid": 9, "seq": 0,
+                            "after": {"repo": "a", "path": "b"}}) + "\n")
+    before = sorted(os.listdir(ingested))
+    with pytest.raises(Exception, match="unknown envelope op"):
+        jsonl_to_event_shards(src, ingested)
+    assert sorted(os.listdir(ingested)) == before
+    assert cdc.stream_facts(ingested)["watermark"] == 4
