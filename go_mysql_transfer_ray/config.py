@@ -268,8 +268,14 @@ def _table_specs(table: str, ddl_events: "list[dict]"):
     return [ColumnSpec(c) for c in TABLE_COLUMNS[table]]
 
 
-def _decoded(events_dir: str, table: str, *, keep_before: bool):
-    """Per-table decoded change stream (Decoder stage, arity-guarded)."""
+def _decoded(events_dir: str, table: str, *, keep_before: bool,
+             facts: "dict | None" = None):
+    """Per-table decoded change stream (Decoder stage, arity-guarded).
+
+    ``facts``: pre-computed ``cdc.stream_facts(events_dir)`` — run_app
+    threads one result into every per-table pipeline so the parquet
+    footers and the pruned DDL read are scanned once per run, not once
+    per matched table."""
     import ray.data
 
     from .pipelines.cdc import (
@@ -279,7 +285,7 @@ def _decoded(events_dir: str, table: str, *, keep_before: bool):
     )
     from .stages.decode import Decoder
 
-    facts = stream_facts(events_dir)
+    facts = facts if facts is not None else stream_facts(events_dir)
     ddl_events = sorted(facts["ddl_events"], key=lambda d: d["gtid"])
     ds = ray.data.read_parquet(event_files(events_dir))
     ds = ds.map_batches(
@@ -398,6 +404,8 @@ def run_app(
         )
     os.makedirs(out_dir, exist_ok=True)
     results: dict = {"target": app.target, "tables": {}}
+    # one footer/DDL scan per run — every per-table pipeline below reuses it
+    facts = cdc.stream_facts(events_dir)
 
     if app.target in ("mongodb", "elasticsearch"):
         # upsert-by-key sinks → the keyed LWW lake (K2/K3 semantics)
@@ -437,7 +445,8 @@ def run_app(
 
         for tbl, r in matched.items():
             topic = r.topic_for(app.target, tbl)
-            ds = message_stream(events_dir, r.rule_config, table=tbl)
+            ds = message_stream(events_dir, r.rule_config, table=tbl,
+                                facts=facts)
             path = atomic_write_parquet_dir(
                 ds, os.path.join(out_dir, f"topic={topic}")
             )
@@ -450,7 +459,8 @@ def run_app(
 
         for tbl, r in matched.items():
             if r.lua_script:
-                ds, _ = _decoded(events_dir, tbl, keep_before=True)
+                ds, _ = _decoded(events_dir, tbl, keep_before=True,
+                                 facts=facts)
                 state = lua_redis_state(
                     ds,
                     r.lua_script,
@@ -464,7 +474,7 @@ def run_app(
                 # before image's encoded value
                 want_old = r.redis.structure in ("set", "sortedset", "list")
                 ds, ddl_events = _decoded(
-                    events_dir, tbl, keep_before=want_old
+                    events_dir, tbl, keep_before=want_old, facts=facts
                 )
                 ds = ds.map_batches(
                     _RedisValueEncoder,
@@ -499,7 +509,7 @@ def run_app(
             raise ValueError(
                 "target=script requires lua_script/lua_file_path in every rule"
             )  # the script endpoint is Lua-only (script.go:48-68)
-        ds, _ = _decoded(events_dir, tbl, keep_before=False)
+        ds, _ = _decoded(events_dir, tbl, keep_before=False, facts=facts)
         ds = ds.map_batches(
             _LuaScriptExec,
             fn_constructor_args=(r.lua_script, tuple(TABLE_COLUMNS[tbl])),

@@ -459,8 +459,10 @@ def replay(
 
         run_id = _uuid.uuid4().hex[:12]
         # reap buffers a crashed prior driver left behind (they are
-        # detached by necessity — see reap_stale_node_buffers)
-        shfl.reap_stale_node_buffers(run_id)
+        # detached by necessity — see reap_stale_node_buffers); passing
+        # this run's shuffle dir lets the sweep distinguish a superseded
+        # attempt of THIS lake from a live concurrent run (fail fast)
+        shfl.reap_stale_node_buffers(run_id, shuffle_dir)
         try:
             ds.map_batches(
                 shfl.BufferedDeltaWriter(shuffle_dir, run_id),

@@ -235,7 +235,14 @@ def candidate_pairs(
     pairs; real members still pair through their other bands.
 
     Returns an (a, b[, carry_a, carry_b]) dataset with possible
-    cross-band duplicates — follow with ``distinct_pairs``."""
+    cross-band duplicates — follow with ``distinct_pairs``.
+
+    Exchange: the storage shuffle (``stages/shuffle.storage_fold``), the
+    same no-sort delta-file exchange as every other keyed fold — NOT
+    ``groupby("_part").map_groups``, whose sort wall-time is
+    CPU-count-invariant on this box (BASELINE.md) and would become a
+    10^11-row sort at 10^10 docs × 32 bands."""
+    from ..stages.shuffle import storage_fold
 
     def fold(group: pa.Table) -> pa.Table:
         cols = [group.column(c).to_numpy(zero_copy_only=False) for c in bucket_cols]
@@ -288,14 +295,16 @@ def candidate_pairs(
             )
         return pa.table(cols_out)
 
-    parts = _add_part(ds, bucket_cols, _fold_partitions(num_partitions))
-    out = parts.groupby("_part").map_groups(fold, batch_format="pyarrow")
     schema = {"a": pa.int64(), "b": pa.int64()}
     if carry_col is not None:
         ct = ds.schema().base_schema.field(carry_col).type
         schema[f"{carry_col}_a"] = ct
         schema[f"{carry_col}_b"] = ct
-    return _ensure_schema(out, schema)
+    nparts = _fold_partitions(num_partitions)
+    parts = _add_part(ds, bucket_cols, nparts)
+    return storage_fold(
+        parts, nparts, fold, label="candpairs", empty_schema=schema
+    )
 
 
 def distinct_pairs(pairs, *, num_partitions: int = 32,
@@ -304,9 +313,12 @@ def distinct_pairs(pairs, *, num_partitions: int = 32,
     extra columns — hash-partition + vectorized per-partition unique
     (replaces the one-Python-call-per-edge ``groupby([a,b]).map_groups``
     flagged in round 1).  ``schema`` (defaults to (a, b) int64) pins the
-    output block schema — Ray's map_groups emits schema-less empty
-    blocks for empty sort partitions, which would poison a downstream
-    Acero join."""
+    output schema for the empty-input case.
+
+    Exchange: the storage shuffle (see ``candidate_pairs``) — no
+    sort-based all-to-all anywhere in the near-dup family."""
+    from ..stages.shuffle import storage_fold
+
     if schema is None:
         schema = {"a": pa.int64(), "b": pa.int64()}
 
@@ -321,9 +333,11 @@ def distinct_pairs(pairs, *, num_partitions: int = 32,
             first[1:] = (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])
         return group.take(pa.array(order[first]))
 
-    parts = _add_part(pairs, ["a", "b"], _fold_partitions(num_partitions))
-    out = parts.groupby("_part").map_groups(fold, batch_format="pyarrow")
-    return _ensure_schema(out, schema)
+    nparts = _fold_partitions(num_partitions)
+    parts = _add_part(pairs, ["a", "b"], nparts)
+    return storage_fold(
+        parts, nparts, fold, label="distinctpairs", empty_schema=schema
+    )
 
 
 def _fold_partitions(requested: int) -> int:
@@ -1516,7 +1530,9 @@ def chunk_documents(
     embarrassingly parallel: no shuffle, output streams block-by-block,
     so it holds at any corpus size."""
     if not (0 < stride <= size):
-        raise ValueError(f"need 0 < stride <= size, got {stride} > {size}")
+        raise ValueError(
+            f"need 0 < stride <= size, got stride={stride}, size={size}"
+        )
 
     def fn(t: pa.Table) -> pa.Table:
         txt = t.column(text_col)

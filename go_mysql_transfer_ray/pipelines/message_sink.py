@@ -180,16 +180,19 @@ def message_stream(
     table: "str | None" = None,
     batch_size: int = 16384,
     concurrency: "int | tuple[int, int]" = (1, 4),
+    facts: "dict | None" = None,
 ) -> "ray.data.Dataset":
     """Decode + rule + envelope — returns the message Dataset (no shuffle).
 
     ``table``: which stream table to envelope (default the flagship;
     secondary tables decode against their base columns — in-band DDL
-    applies to the flagship only)."""
+    applies to the flagship only).  ``facts``: pre-computed
+    ``stream_facts(events_dir)``, so multi-table callers (config.run_app)
+    scan the parquet footers / pruned DDL read once per run."""
     from ..schema import TABLE_COLUMNS, TABLE_NAME
 
     rule_config = rule_config or RuleConfig()
-    facts = stream_facts(events_dir)
+    facts = facts if facts is not None else stream_facts(events_dir)
     ddl_gtid = [d["gtid"] for d in facts["ddl_events"]] or None
     keep_before = rule_config.reserve_raw_data
     table = table or TABLE_NAME

@@ -48,10 +48,18 @@ _OP_MAP = {"c": "insert", "r": "insert", "u": "update", "d": "delete"}
 
 
 def _map_ops(col: pa.Array) -> pa.Array:
-    """c/r/u/d → insert/update/delete, vectorized; unknown codes raise."""
+    """c/r/u/d → insert/update/delete, vectorized; null or unknown codes
+    raise (a null op is a malformed envelope, not a droppable row — the
+    reference reads the action off the wire and can't receive one)."""
+    if pc.any(pc.is_null(col)).as_py():
+        n_null = pc.sum(pc.is_null(col)).as_py()
+        raise ValueError(
+            f"null envelope op not allowed ({n_null} line(s) missing 'op'; "
+            "every change line must carry op in {c,u,d,r})"
+        )
     codes = pa.array(list(_OP_MAP), pa.string())
     idx = pc.index_in(col, codes)
-    if pc.any(pc.is_null(idx)).as_py() and not pc.all(pc.is_null(col)).as_py():
+    if pc.any(pc.is_null(idx)).as_py():
         bad = pc.unique(col.filter(pc.is_null(idx)))
         raise ValueError(f"unknown envelope op codes: {bad.to_pylist()}")
     targets = pa.array([_OP_MAP[c] for c in _OP_MAP], pa.string())

@@ -37,6 +37,7 @@ import glob
 import json
 import os
 import shutil
+import time
 import uuid
 
 import numpy as np
@@ -150,8 +151,18 @@ class _NodeDeltaBuffer:
         self.sizes: dict[int, int] = {}
         self.seq = 0
         self.tag = uuid.uuid4().hex[:12]
+        self.last_activity = time.monotonic()
+
+    def describe(self) -> dict:
+        """Liveness probe for the reaper: which shuffle dir this buffer
+        serves and how long since its last append."""
+        return {
+            "shuffle_dir": self.shuffle_dir,
+            "idle_s": time.monotonic() - self.last_activity,
+        }
 
     def append(self, batch: pa.Table) -> int:
+        self.last_activity = time.monotonic()
         n = 0
         for p, t in split_by_part(batch):
             self.bufs.setdefault(p, []).append(t)
@@ -231,17 +242,33 @@ class BufferedDeltaWriter:
         return pa.table({"_rows": pa.array([n], pa.int64())})
 
 
-def reap_stale_node_buffers(exclude_run_id: str) -> int:
-    """Kill leftover gmtbuf-* actors from PRIOR runs.
+def reap_stale_node_buffers(
+    exclude_run_id: str,
+    shuffle_dir: "str | None" = None,
+    *,
+    stale_after_s: float = 300.0,
+) -> int:
+    """Kill leftover gmtbuf-* actors from PRIOR runs — without destroying
+    a live concurrent run's buffers.
 
     The buffer actors must be detached (their creators are short-lived
     map tasks — a non-detached actor dies with its owner mid-run), so a
     driver that crashes before ``flush_node_buffers`` leaks them.  Every
-    node-mode replay sweeps the namespace first, discarding any buffer
-    whose run prefix differs (its deltas are stale by definition: the
-    new run re-prepared the shuffle dir).  Caveat: CONCURRENT node-mode
-    replays in one Ray cluster are not supported — the sweep would kill
-    the other run's buffers."""
+    node-mode replay sweeps the namespace first.  An actor with a
+    different run id is killed only when it is provably stale:
+
+    * it serves THIS run's ``shuffle_dir`` (just re-prepared — its
+      buffered rows belong to a superseded attempt of the same lake);
+    * its shuffle dir no longer exists on disk;
+    * it has been idle longer than ``stale_after_s`` (a live stage A
+      appends continuously; a crashed driver's buffers only age);
+    * it does not answer ``describe()`` within 10 s (wedged).
+
+    A RESPONSIVE, recently-active buffer for a DIFFERENT shuffle dir
+    means a second node-mode replay is running in this cluster — that
+    run's deltas must not be destroyed, so the sweep fails fast instead
+    of reaping (the caller should serialize the runs or use separate
+    Ray clusters)."""
     import ray
     from ray.util import list_named_actors
 
@@ -253,9 +280,30 @@ def reap_stale_node_buffers(exclude_run_id: str) -> int:
         if info["name"].startswith(keep):
             continue
         try:
-            ray.kill(ray.get_actor(info["name"], namespace=info["namespace"]))
-            reaped += 1
+            actor = ray.get_actor(info["name"], namespace=info["namespace"])
         except ValueError:  # raced with its own teardown
+            continue
+        try:
+            d = ray.get(actor.describe.remote(), timeout=10)
+            same_dir = shuffle_dir is not None and d["shuffle_dir"] == shuffle_dir
+            dir_gone = not os.path.isdir(d["shuffle_dir"])
+            aged_out = d["idle_s"] >= stale_after_s
+            if not (same_dir or dir_gone or aged_out):
+                raise RuntimeError(
+                    f"live node-mode replay detected (buffer {info['name']} "
+                    f"for {d['shuffle_dir']!r}, idle {d['idle_s']:.0f}s): "
+                    "concurrent node-mode replays in one Ray cluster are "
+                    "not supported — refusing to reap its delta buffers"
+                )
+        except RuntimeError:
+            raise
+        except Exception:
+            # unresponsive / pre-describe actor version: treat as wedged
+            pass
+        try:
+            ray.kill(actor)
+            reaped += 1
+        except ValueError:
             pass
     return reaped
 
