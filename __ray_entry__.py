@@ -1552,6 +1552,12 @@ def q_message_envelopes_sql(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
+    """Real container decode (PPM/BMP images, WAV audio, Y4M video) over
+    a deterministic synthetic corpus.  Every emitted feature (dims,
+    frame/sample counts, duration, channel/amplitude/luma sums) is an
+    exact integer the engine derives from the PAYLOAD BYTES; the oracle
+    restates each from the generator's closed-form parameter formulas —
+    a hash match proves the decode inverted the encode."""
     tab = multimodal.synthetic_media_table(n=120)
     return multimodal.media_features(ray.data.from_arrow(tab))
 
@@ -2402,6 +2408,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(per.n_hits, 0) > 0
                              THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        # real-container media decode: the generator's parameters are
+        # closed-form in media_id, so every decoded feature (dims, frame
+        # and sample counts, duration, integer channel/amplitude/luma
+        # sums) is restated from the formulas — hash match proves the
+        # engine's PPM/BMP/WAV/Y4M byte-level decode inverted the encode.
+        # Σ over pixels of (base + x + 2y) = w·h·base + h·w(w−1)/2 +
+        # w·h(h−1); video adds Σ3f = w·h·3·f(f−1)/2 across f frames.
+        "media_features": """
+            WITH m AS (
+                SELECT CAST(t.range AS BIGINT) AS i FROM range(120) t
+            )
+            SELECT i AS media_id, 'image' AS media_type,
+                   CASE WHEN (i // 3) % 2 = 0 THEN 'ppm' ELSE 'bmp' END
+                       AS format,
+                   CAST(16 + (i % 5) * 8 AS BIGINT) AS width,
+                   CAST(12 + (i % 4) * 6 AS BIGINT) AS height,
+                   CAST(NULL AS BIGINT) AS n_frames,
+                   CAST(NULL AS BIGINT) AS channels,
+                   CAST(NULL AS BIGINT) AS sample_rate,
+                   CAST(NULL AS BIGINT) AS duration_ms,
+                   CAST((16 + (i % 5) * 8) * (12 + (i % 4) * 6) * (i % 89)
+                        + (12 + (i % 4) * 6) * (16 + (i % 5) * 8)
+                          * (16 + (i % 5) * 8 - 1) // 2
+                        + (16 + (i % 5) * 8) * (12 + (i % 4) * 6)
+                          * (12 + (i % 4) * 6 - 1) AS BIGINT) AS px_sum_r,
+                   CAST((16 + (i % 5) * 8) * (12 + (i % 4) * 6) * ((3 * i) % 89)
+                        + (12 + (i % 4) * 6) * (16 + (i % 5) * 8)
+                          * (16 + (i % 5) * 8 - 1) // 2
+                        + (16 + (i % 5) * 8) * (12 + (i % 4) * 6)
+                          * (12 + (i % 4) * 6 - 1) AS BIGINT) AS px_sum_g,
+                   CAST((16 + (i % 5) * 8) * (12 + (i % 4) * 6) * ((7 * i) % 89)
+                        + (12 + (i % 4) * 6) * (16 + (i % 5) * 8)
+                          * (16 + (i % 5) * 8 - 1) // 2
+                        + (16 + (i % 5) * 8) * (12 + (i % 4) * 6)
+                          * (12 + (i % 4) * 6 - 1) AS BIGINT) AS px_sum_b,
+                   CAST(NULL AS BIGINT) AS sample_peak,
+                   CAST(NULL AS BIGINT) AS sample_abs_sum,
+                   CAST(NULL AS BIGINT) AS luma_sum
+            FROM m WHERE i % 3 = 0
+            UNION ALL
+            SELECT i, 'audio', 'wav',
+                   NULL, NULL,
+                   CAST(2000 + (i % 8) * 1000 AS BIGINT),
+                   CAST(1 + (i % 2) AS BIGINT),
+                   CAST(8000 AS BIGINT),
+                   CAST((2000 + (i % 8) * 1000) * 1000 // 8000 AS BIGINT),
+                   NULL, NULL, NULL,
+                   CAST(500 + (i % 100) * 37 AS BIGINT),
+                   CAST((500 + (i % 100) * 37) * (2000 + (i % 8) * 1000)
+                        * (1 + (i % 2)) AS BIGINT),
+                   NULL
+            FROM m WHERE i % 3 = 1
+            UNION ALL
+            SELECT i, 'video', 'y4m',
+                   CAST(16 + (i % 5) * 8 AS BIGINT),
+                   CAST(12 + (i % 4) * 6 AS BIGINT),
+                   CAST(4 + (i % 4) AS BIGINT),
+                   NULL, NULL,
+                   CAST((4 + (i % 4)) * 40 AS BIGINT),
+                   NULL, NULL, NULL, NULL, NULL,
+                   CAST((4 + (i % 4))
+                        * ((16 + (i % 5) * 8) * (12 + (i % 4) * 6) * (i % 80)
+                           + (12 + (i % 4) * 6) * (16 + (i % 5) * 8)
+                             * (16 + (i % 5) * 8 - 1) // 2
+                           + (16 + (i % 5) * 8) * (12 + (i % 4) * 6)
+                             * (12 + (i % 4) * 6 - 1))
+                        + (16 + (i % 5) * 8) * (12 + (i % 4) * 6) * 3
+                          * (4 + (i % 4) - 1) * (4 + (i % 4)) // 2
+                        AS BIGINT) AS luma_sum
+            FROM m WHERE i % 3 = 2
         """,
         # JSON prop extraction + aggregation from RAW props strings
         "json_props_stats": """

@@ -871,34 +871,66 @@ def ann_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_partitions: int = 32,
 ) -> pa.Table:
     """Global top-k cosine neighbors per query (brute force, exact).
 
-    The driver-side re-reduce touches only Q×k×blocks partial rows —
-    metadata, not the corpus."""
+    The final reduce is DISTRIBUTED: per-block partials (Q×k rows each)
+    hash-partition on ``query_id`` through the storage shuffle and each
+    partition folds its queries' partials to the global top-k with a
+    vectorized lexsort — the driver never sees the Q×k×blocks partial
+    set (at 10^5 corpus blocks that factor is the difference between a
+    metadata fold and a driver bottleneck).  Only the FINAL Q×k rows —
+    small by construction — are collected into the returned Table."""
+    from ..stages.shuffle import storage_fold
+
     qref = ray.put(np.asarray(queries))
     partials = ds.map_batches(
         BruteForceTopK,
         fn_constructor_args=(qref, k, id_col, vec_col),
         concurrency=(1, 8),
         batch_format="pyarrow",
-    ).to_pandas()
-    out = []
-    for qid, grp in partials.groupby("query_id"):
-        # deterministic: cosine desc, then neighbor id asc
-        g = grp.sort_values(["cosine", "neighbor_id"], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    if not out:  # fully-pruned corpus: empty but well-formed result
+    )
+    schema = {
+        "query_id": pa.int64(),
+        "neighbor_id": pa.int64(),
+        "cosine": pa.float64(),
+        "rank": pa.int64(),
+    }
+
+    def fold(group: pa.Table) -> pa.Table:
+        qid = group.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nid = group.column("neighbor_id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        cos = group.column("cosine").to_numpy(zero_copy_only=False)
+        # deterministic: query asc, cosine desc, then neighbor id asc
+        order = np.lexsort((nid, -cos, qid))
+        qid, nid, cos = qid[order], nid[order], cos[order]
+        starts, ends = _runs([qid])
+        pos = np.arange(len(qid), dtype=np.int64) - np.repeat(
+            starts, ends - starts
+        )
+        keep = pos < k
         return pa.table(
             {
-                "query_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-                "rank": pa.array([], pa.int64()),
+                "query_id": pa.array(qid[keep]),
+                "neighbor_id": pa.array(nid[keep]),
+                "cosine": pa.array(cos[keep], pa.float64()),
+                "rank": pa.array(pos[keep] + 1),
             }
         )
-    return pa.Table.from_pandas(pd.concat(out), preserve_index=False)
+
+    nparts = _fold_partitions(num_partitions)
+    parts = _add_part(partials, ["query_id"], nparts)
+    folded = storage_fold(parts, nparts, fold, label="anntopk", empty_schema=schema)
+    refs = folded.to_arrow_refs()
+    if not refs:  # fully-pruned corpus: empty but well-formed result
+        return pa.table({c: pa.array([], t) for c, t in schema.items()})
+    tab = pa.concat_tables(
+        [r for r in ray.get(refs)], promote_options="default"
+    )
+    return tab.sort_by([("query_id", "ascending"), ("rank", "ascending")])
 
 
 def lsh_prune(
