@@ -15,16 +15,18 @@ rule scripts actually use, from the public Lua 5.1 reference manual:
   % ^ not # unary-``) with Lua precedence, table constructors (array
   part, ``k = v``, ``[expr] = v``), anonymous functions, method calls
   ``obj:m(...)``, string/number literals (incl. hex, exponents, long
-  strings), varargs are NOT supported;
+  strings), varargs (``...`` with last-position expansion, ``select``,
+  ``unpack``); metatables and coroutines are NOT supported;
 * semantics: ``nil``/``false`` falsy; numbers are float64 (printed via
   %.14g like gopher-lua's LNumber.String); ``..`` coerces numbers;
   arithmetic coerces numeric strings; ``#`` on strings and tables;
   1-based tables with separate hash part, deterministic iteration
   (array part in order, then hash keys in insertion order);
 * stdlib: ``print type tostring tonumber pairs ipairs error assert
-  require`` plus ``string`` (len sub upper lower rep format find
-  gsub), ``table`` (insert remove concat), ``math`` (floor ceil abs
-  max min huge) — the slices rule scripts use.
+  require select unpack`` plus ``string`` (len sub upper lower rep
+  format find match gmatch gsub byte char), ``table`` (insert remove
+  concat), ``math`` (floor ceil abs max min huge) — the slices rule
+  scripts use.
 
 Host modules (redisOps, mongodbOps, esOps, mqOps, json, ...) are
 injected through ``require`` and as pre-set globals, mirroring
@@ -444,13 +446,15 @@ class _Parser:
     def funcbody(self, is_method):
         self.expect("(")
         params = ["self"] if is_method else []
+        is_vararg = False
         if self.peek() != ")":
             while True:
                 t = self.next()
                 if t[0] == "name":
                     params.append(t[1])
                 elif t[0] == "...":
-                    break  # varargs accepted but ignored
+                    is_vararg = True
+                    break  # '...' must be the last parameter (Lua 5.1)
                 else:
                     raise LuaError(f"bad parameter {t[0]!r}")
                 if not self.accept(","):
@@ -458,7 +462,7 @@ class _Parser:
         self.expect(")")
         body = self.block(("end",))
         self.expect("end")
-        return ("function", params, body)
+        return ("function", params, body, is_vararg)
 
     # -- expressions ------------------------------------------------------
     _BINPRI = {
@@ -513,6 +517,9 @@ class _Parser:
         if k == "function":
             self.next()
             return self.funcbody(False)
+        if k == "...":
+            self.next()
+            return ("vararg",)
         if k == "{":
             return self.tablector()
         return self.suffixedexp()
@@ -523,6 +530,10 @@ class _Parser:
             self.next()
             e = self.expr()
             self.expect(")")
+            # Lua 5.1 §2.5: a parenthesized expression is adjusted to
+            # exactly ONE value — '(f(x))' and '(...)' truncate
+            if e[0] in ("call", "method", "vararg"):
+                return ("paren", e)
             return e
         if k == "name":
             self.next()
@@ -642,15 +653,19 @@ class _Env:
 
 
 class LuaFunction:
-    __slots__ = ("params", "body", "env", "interp")
+    __slots__ = ("params", "body", "env", "interp", "is_vararg")
 
-    def __init__(self, params, body, env, interp):
+    def __init__(self, params, body, env, interp, is_vararg=False):
         self.params, self.body, self.env, self.interp = params, body, env, interp
+        self.is_vararg = is_vararg
 
     def __call__(self, *args):
         env = _Env(self.env)
         for i, p in enumerate(self.params):
             env.declare(p, args[i] if i < len(args) else None)
+        if self.is_vararg:
+            # '...' lives in the env under a name no identifier can take
+            env.declare("...", tuple(args[len(self.params):]))
         try:
             self.interp.exec_block(self.body, env)
         except _Return as r:
@@ -841,6 +856,27 @@ class Interpreter:
             "gsub",
             lambda s, pat, repl, n=None: _str_gsub(s, pat, repl, n),
         )
+        string_mod.set(
+            "match",
+            lambda s, pat, init=1.0: _str_match(s, pat, int(init)),
+        )
+        string_mod.set("gmatch", lambda s, pat: (_str_gmatch(s, pat),))
+
+        def s_byte(s, i=1.0, j=None):
+            i = int(i)
+            j = i if j is None else int(j)
+            n = len(s)
+            if i < 0:
+                i = max(n + i + 1, 1)
+            if j < 0:
+                j = n + j + 1
+            j = min(j, n)
+            return tuple(float(ord(c)) for c in s[max(i, 1) - 1 : j])
+
+        string_mod.set("byte", s_byte)
+        string_mod.set(
+            "char", lambda *a: ("".join(chr(int(lua_tonumber(x))) for x in a),)
+        )
 
         table_mod = LuaTable.from_dict({})
 
@@ -892,6 +928,23 @@ class Interpreter:
         ))
         g.declare("pairs", lua_pairs)
         g.declare("ipairs", lua_ipairs)
+
+        def lua_select(n, *rest):
+            if n == "#":
+                return (float(len(rest)),)
+            k = int(lua_tonumber(n))
+            if k < 0:
+                k = len(rest) + k + 1
+            if k < 1:
+                raise LuaError("bad argument #1 to 'select' (index out of range)")
+            return tuple(rest[k - 1 :])
+
+        def lua_unpack(t, i=1.0, j=None):
+            n = t.length() if j is None else int(j)
+            return tuple(t.get(float(x)) for x in range(int(i), n + 1))
+
+        g.declare("select", lua_select)
+        g.declare("unpack", lua_unpack)
         g.declare("require", lua_require)
         g.declare("error", lua_error)
         g.declare("assert", lua_assert)
@@ -1014,6 +1067,8 @@ class Interpreter:
 
     def eval_multi(self, e, env):
         """Evaluate, preserving multiple results for calls."""
+        if e[0] == "vararg":
+            return list(env.lookup("...") or ())
         if e[0] == "call":
             fn = self.eval(e[1], env)
             args = self._args(e[2], env)
@@ -1072,11 +1127,14 @@ class Interpreter:
             if obj is None:
                 raise LuaError(f"attempt to index a nil value ({e[1]})")
             raise LuaError("attempt to index a non-table value")
-        if kind in ("call", "method"):
+        if kind in ("call", "method", "vararg"):
             res = self.eval_multi(e, env)
             return res[0] if res else None
+        if kind == "paren":
+            return self.eval(e[1], env)
         if kind == "function":
-            return LuaFunction(e[1], e[2], env, self)
+            return LuaFunction(e[1], e[2], env, self,
+                               e[3] if len(e) > 3 else False)
         if kind == "table":
             t = LuaTable()
             _, arr, kv = e
@@ -1217,7 +1275,40 @@ def _str_find(s: str, pat: str, init: int = 1):
     m = re.compile(_lua_pat_to_re(pat)).search(s, init - 1)
     if not m:
         return (None,)
-    return (float(m.start() + 1), float(m.end()))
+    # Lua: captures follow the positions (5.1 manual §5.4 string.find)
+    return (float(m.start() + 1), float(m.end())) + m.groups()
+
+
+def _match_values(m: "re.Match"):
+    """Lua match semantics: captures if the pattern has any, else the
+    whole match."""
+    return m.groups() if m.groups() else (m.group(0),)
+
+
+def _str_match(s: str, pat: str, init: int = 1):
+    m = re.compile(_lua_pat_to_re(pat)).search(s, init - 1)
+    if not m:
+        return (None,)
+    return _match_values(m)
+
+
+def _str_gmatch(s: str, pat: str):
+    """string.gmatch: returns an iterator function over non-overlapping
+    matches (Lua 5.1 manual §5.4); empty matches advance one position so
+    the iteration terminates, like the C implementation."""
+    rx = re.compile(_lua_pat_to_re(pat))
+    state = {"pos": 0}
+
+    def it(*_):
+        while state["pos"] <= len(s):
+            m = rx.search(s, state["pos"])
+            if m is None:
+                return (None,)
+            state["pos"] = m.end() + 1 if m.end() == m.start() else m.end()
+            return _match_values(m)
+        return (None,)
+
+    return it
 
 
 def _str_gsub(s: str, pat: str, repl, n=None):

@@ -189,3 +189,76 @@ def test_compile_once_rerun_isolated_locals():
     it.run()
     # globals persist across runs (reference pools LStates without reset)
     assert it.global_get("n0") == 3.0
+
+
+def test_varargs_select_unpack():
+    it = run(
+        """
+        local function sum(...)
+          local t, n = 0, select("#", ...)
+          for i = 1, n do t = t + (select(i, ...)) end
+          return t, n
+        end
+        local function tail(...) return select(2, ...) end
+        s, n = sum(1, 2, 3, 4)
+        t2, t3 = tail(10, 20, 30)
+        packed = {sum(5, 6)}          -- expands to both returns
+        last = {1, sum(5, 6)}         -- last position expands
+        mid = {sum(5, 6), 1}          -- non-last truncates to one
+        local function fwd(...) return {...} end
+        fl = fwd("a", "b", "c")
+        """
+    )
+    assert it.global_get("s") == 10.0 and it.global_get("n") == 4.0
+    assert it.global_get("t2") == 20.0 and it.global_get("t3") == 30.0
+    assert it.global_get("packed").length() == 2
+    assert it.global_get("last").length() == 3
+    assert it.global_get("mid").length() == 2
+    assert to_python(it.global_get("fl")) == ["a", "b", "c"]
+
+
+def test_paren_truncates_to_one_value():
+    # Lua 5.1 §2.5: (f(x)) and (...) adjust to exactly one value
+    it = run(
+        """
+        local function two() return 1, 2 end
+        a = {two()}
+        b = {(two())}
+        local function count(...) return select("#", ...) end
+        c = count((two()))
+        """
+    )
+    assert it.global_get("a").length() == 2
+    assert it.global_get("b").length() == 1
+    assert it.global_get("c") == 1.0
+
+
+def test_string_gmatch_match_byte_char():
+    it = run(
+        """
+        words = {}
+        for w in string.gmatch("one two  three", "%a+") do
+          table.insert(words, w)
+        end
+        kvs = {}
+        for k, v in string.gmatch("a=1, b=2", "(%w+)=(%w+)") do
+          kvs[k] = v
+        end
+        m = string.match("file_42.py", "%.(%w+)$")
+        none = string.match("x", "%d")
+        b1, b2 = string.byte("AZ", 1, 2)
+        neg = string.byte("abc", -1)
+        c = string.char(76, 117, 97)
+        f1, f2, cap = string.find("k=9", "(%d)")
+        """
+    )
+    assert to_python(it.global_get("words")) == ["one", "two", "three"]
+    assert to_python(it.global_get("kvs")) == {"a": "1", "b": "2"}
+    assert it.global_get("m") == "py"
+    assert it.global_get("none") is None
+    assert it.global_get("b1") == 65.0 and it.global_get("b2") == 90.0
+    assert it.global_get("neg") == float(ord("c"))
+    assert it.global_get("c") == "Lua"
+    assert (it.global_get("f1"), it.global_get("f2"), it.global_get("cap")) == (
+        3.0, 3.0, "9",
+    )
