@@ -24,7 +24,6 @@ carry-over of the last build value.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -61,21 +60,32 @@ def tumbling_aggregate(
             if cents
             else safe
         )
-        df = pd.DataFrame(
+        # Arrow-native local groupby — the decode→partial hot path stays
+        # pandas-free (count mode="all" = COUNT(*); sum skips nothing
+        # because invalid values were zeroed above)
+        g = (
+            pa.table(
+                {
+                    "window_start": w,
+                    key_col: t.column(key_col),
+                    "v": pa.array(np.where(valid, v, 0)),
+                }
+            )
+            .group_by(["window_start", key_col])
+            .aggregate(
+                [("v", "count", pc.CountOptions(mode="all")), ("v", "sum")]
+            )
+        )
+        return pa.table(
             {
-                "window_start": w.to_pandas(),
-                key_col: t.column(key_col).to_pandas(),
-                "v": np.where(valid, v, 0),
+                "window_start": g.column("window_start"),
+                key_col: g.column(key_col),
+                "n": pc.cast(g.column("v_count"), pa.int64()),
+                "sum_cents": pc.cast(
+                    g.column("v_sum"), pa.int64() if cents else pa.float64()
+                ),
             }
         )
-        g = (
-            df.groupby(["window_start", key_col], sort=False, dropna=False)
-            .agg(n=("v", "size"), sum_cents=("v", "sum"))
-            .reset_index()
-        )
-        g["n"] = g["n"].astype(np.int64)
-        g["sum_cents"] = g["sum_cents"].astype(np.int64 if cents else np.float64)
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -111,30 +121,39 @@ def hopping_aggregate(
         cents = np.where(
             safe >= 0, np.floor(safe * 100 + 0.5), np.ceil(safe * 100 - 0.5)
         ).astype(np.int64)
-        frames = []
+        key_arr = t.column(key_col)
+        v_arr = pa.array(np.where(valid, cents, 0))
+        pieces = []
         for k in range(fanout):
             # window starting k hops BEFORE the event's day covers it
             start = pc.add(
                 day, pa.scalar(-k * hop_days * 86_400_000_000, pa.duration("us"))
             )
-            frames.append(
-                pd.DataFrame(
+            pieces.append(
+                pa.table(
                     {
-                        "window_start": pc.cast(start, pa.timestamp("us")).to_pandas(),
-                        key_col: t.column(key_col).to_pandas(),
-                        "v": np.where(valid, cents, 0),
+                        "window_start": pc.cast(start, pa.timestamp("us")),
+                        key_col: key_arr,
+                        "v": v_arr,
                     }
                 )
             )
-        df = pd.concat(frames, ignore_index=True)
+        # Arrow-native explode + local groupby (no pandas round-trip)
         g = (
-            df.groupby(["window_start", key_col], sort=False, dropna=False)
-            .agg(n=("v", "size"), sum_cents=("v", "sum"))
-            .reset_index()
+            pa.concat_tables(pieces)
+            .group_by(["window_start", key_col])
+            .aggregate(
+                [("v", "count", pc.CountOptions(mode="all")), ("v", "sum")]
+            )
         )
-        g["n"] = g["n"].astype(np.int64)
-        g["sum_cents"] = g["sum_cents"].astype(np.int64)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.table(
+            {
+                "window_start": g.column("window_start"),
+                key_col: g.column(key_col),
+                "n": pc.cast(g.column("v_count"), pa.int64()),
+                "sum_cents": pc.cast(g.column("v_sum"), pa.int64()),
+            }
+        )
 
     return (
         ds.map_batches(partial, batch_format="pyarrow")
