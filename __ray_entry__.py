@@ -980,12 +980,20 @@ def _write_rel(ds: "ray.data.Dataset", name: str) -> str:
     idempotent) — the same pattern the flagship uses for its decoded
     change stream.  These relations export engine-computed SKETCHES
     (signatures / shingle hashes / simhashes), letting the oracle restate
-    the whole banding + verify + transitive-closure pipeline in SQL."""
+    the whole banding + verify + transitive-closure pipeline in SQL.
+
+    GRAFT_SKIP_ORACLE_EXPORT=1 (set by bench.py) skips the write: the
+    export exists solely so DuckDB can check the operator, it is not part
+    of the operator's work, and it belongs outside the timed span.  The
+    driver's correctness runs never set it.  (q_decontaminate is the one
+    query that re-reads its exported relation — it is not in the bench
+    headline set, so the skip never breaks it.)"""
+    path = os.path.join(_SKETCH_ORACLE_ROOT, name)
+    if os.environ.get("GRAFT_SKIP_ORACLE_EXPORT") == "1":
+        return path
     from go_mysql_transfer_ray.state.manifest import atomic_write_parquet_dir
 
-    return atomic_write_parquet_dir(
-        ds, os.path.join(_SKETCH_ORACLE_ROOT, name)
-    )
+    return atomic_write_parquet_dir(ds, path)
 
 
 _MINHASH_SIGS_REL = os.path.join(_SKETCH_ORACLE_ROOT, "minhash_sigs")
@@ -1551,6 +1559,43 @@ def q_message_envelopes_sql(sf_dir: str):
     )
 
 
+def q_group_topk(sf_dir: str):
+    """Per-group top-k selection (curation best-of filter): the 3 docs
+    with the most whitespace tokens per language, ties broken by doc_id.
+    Two-phase top-k — each block self-reduces to ≤k rows per group, the
+    k-sized partials ride the storage shuffle keyed on the group."""
+    docs = _docs(sf_dir)
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "lang": t.column("lang"),
+                "n_tokens": textfn.token_count(t.column("text")),
+            }
+        )
+
+    return datapipe.group_topk(
+        docs.map_batches(fn, batch_format="pyarrow"),
+        group_col="lang",
+        order_col="n_tokens",
+        id_col="doc_id",
+        k=3,
+    )
+
+
+def q_deterministic_shard(sf_dir: str):
+    """Deterministic training-order shuffle: Knuth hash with seed 7 →
+    shard h%8 → (h, id)-ordered position within shard.  Pure function of
+    (doc_id, seed): the oracle restates hash, shard and rank in SQL."""
+    return datapipe.deterministic_shard(
+        _docs(sf_dir).select_columns(["doc_id"]),
+        id_col="doc_id",
+        n_shards=8,
+        seed=7,
+    )
+
+
 def q_media_features(sf_dir: str):
     """Real container decode (PPM/BMP images, WAV audio, Y4M video) over
     a deterministic synthetic corpus.  Every emitted feature (dims,
@@ -1581,6 +1626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "message_envelopes": q_message_envelopes,
         "message_envelopes_sql": q_message_envelopes_sql,
         "media_features": q_media_features,
+        # --- new in r4 ---------------------------------------------------
+        "group_topk": q_group_topk,
+        "deterministic_shard": q_deterministic_shard,
         # --- flagship + everything whose modules change this round -----
         "cdc_replay_repos": q_cdc_replay_repos,
         "cdc_replay_two_tables": q_cdc_replay_two_tables,
@@ -1596,7 +1644,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_daily_stats": q_hopping_daily_stats,
         "sessionize": q_sessionize,
         "asof_last_purchase": q_asof_last_purchase,
-        "doc_token_counts": q_doc_token_counts,
         "chunk_documents": q_chunk_documents,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
@@ -1610,7 +1657,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "json_props_stats": q_json_props_stats,
         "lang_id": q_lang_id,
-        "fingerprints": q_fingerprints,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ann_topk": q_ann_topk,
@@ -1625,6 +1671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lua_mongo_upsert": q_lua_mongo_upsert,
         "lua_es_ops": q_lua_es_ops,
         # --- stable tail: modules untouched since their green row -------
+        "doc_token_counts": q_doc_token_counts,
+        "fingerprints": q_fingerprints,
         "value_encoder_kv": q_value_encoder_kv,
         "value_encoder_json": q_value_encoder_json,
         "value_encoder_vcommas": q_value_encoder_vcommas,
@@ -2408,6 +2456,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN coalesce(per.n_hits, 0) > 0
                              THEN 1 ELSE 0 END AS BIGINT) AS contaminated
             FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+        """,
+        # per-group top-k: same whitespace tokenizer as doc_token_counts,
+        # rank = row_number with the engine's deterministic tie-break
+        "group_topk": r"""
+            WITH tok AS (
+                SELECT doc_id, lang,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE array_length(
+                                string_split_regex(trim(text), '\s+'))
+                       END AS n_tokens
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, lang, n_tokens,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_tokens DESC, doc_id
+                       ) AS rank
+                FROM tok
+            )
+            SELECT doc_id, lang,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        # deterministic shard + within-shard order: the Knuth hash,
+        # shard routing and rank are restated exactly
+        "deterministic_shard": """
+            WITH h AS (
+                SELECT doc_id,
+                       ((doc_id + 7) * 2654435761) % 4294967296 AS h
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(h AS BIGINT) AS h,
+                   CAST(row_number() OVER (
+                       PARTITION BY h % 8 ORDER BY h, doc_id
+                   ) - 1 AS BIGINT) AS pos
+            FROM h
         """,
         # real-container media decode: the generator's parameters are
         # closed-form in media_id, so every decoded feature (dims, frame

@@ -2048,3 +2048,139 @@ def decontaminate(
         concurrency=concurrency,
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data corpus ops: per-group top-k selection, deterministic shard
+
+
+def group_topk(
+    ds: "ray.data.Dataset",
+    *,
+    group_col: str,
+    order_col: str,
+    id_col: str = "doc_id",
+    k: int = 3,
+    descending: bool = True,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-group top-k selection — the best-of filter a curation pipeline
+    runs before mixing (e.g. keep the k longest / highest-quality docs
+    per language).
+
+    Classic two-phase top-k: every block first reduces ITSELF to at most
+    k rows per group present (vectorized lexsort + run segmentation — a
+    block can never contribute more than k candidates per group), then
+    the k-sized partials hash-partition on the group through the storage
+    shuffle and each partition folds its groups' candidates to the final
+    top-k with a rank column.  The exchange carries O(groups × k ×
+    blocks) rows, never the corpus; ties break on ascending ``id_col``
+    so the result is deterministic and SQL-statable (row_number())."""
+    from ..stages.merge import key_hash
+    from ..stages.shuffle import storage_fold
+
+    def topk_of(t: pa.Table, with_rank: bool) -> pa.Table:
+        g = t.column(group_col)
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        codes = g.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        vals = t.column(order_col).to_numpy(zero_copy_only=False)
+        key = -vals if descending else vals
+        order = np.lexsort((ids, key, codes))
+        sc = codes[order]
+        starts, ends = _runs([sc])
+        pos = np.arange(len(sc), dtype=np.int64) - np.repeat(
+            starts, ends - starts
+        )
+        keep = pos < k
+        out = t.take(pa.array(order[keep]))
+        if with_rank:
+            out = out.append_column("rank", pa.array(pos[keep] + 1))
+        return out
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_part", pa.array([], pa.int32()))
+        t = topk_of(t, with_rank=False)
+        gkey = t.column(group_col)
+        if not pa.types.is_string(gkey.type):
+            gkey = pc.cast(gkey, pa.string())
+        part = (key_hash(gkey) % np.uint64(num_partitions)).astype(np.int32)
+        return t.append_column("_part", pa.array(part, pa.int32()))
+
+    schema = {
+        f.name: f.type
+        for f in ds.schema().base_schema
+    }
+    schema["rank"] = pa.int64()
+    return storage_fold(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        num_partitions,
+        lambda group: topk_of(group, with_rank=True),
+        label="grouptopk",
+        empty_schema=schema,
+    )
+
+
+def deterministic_shard(
+    ds: "ray.data.Dataset",
+    *,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Deterministic training-order shuffle: Knuth-multiplicative-hash
+    each id with a seed, route to shard ``h % n_shards``, and number the
+    rows within each shard in (h, id) order — the global-shuffle /
+    fixed-data-order step a training run needs to be reproducible and
+    resumable (the order is a pure function of (id, seed), not of
+    partitioning or cluster size).
+
+    The exchange is the storage shuffle keyed on shard; within-shard
+    ordering is one vectorized lexsort per shard.  Partitioning
+    assumption (documented per the build brief): one shard's (id, h)
+    metadata fits a task — choose ``n_shards`` like you choose partition
+    count; at 10^10 rows you'd range-split h within each shard and
+    prefix-sum the counts to keep global positions.
+
+    Output: (id, shard, h, pos) with ``pos`` 0-based within shard."""
+    from ..stages.shuffle import storage_fold
+
+    mult = np.uint64(2654435761)
+    mod = np.uint64(4294967296)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
+        h = ((ids.astype(np.uint64) + np.uint64(seed)) * mult) % mod
+        shard = (h % np.uint64(n_shards)).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "shard": pa.array(shard.astype(np.int64)),
+                "h": pa.array(h.view(np.int64)),
+                "_part": pa.array(shard, pa.int32()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        out = group.take(pa.array(order))
+        return out.append_column(
+            "pos", pa.array(np.arange(len(ids), dtype=np.int64))
+        )
+
+    return storage_fold(
+        ds.map_batches(add_shard, batch_format="pyarrow"),
+        n_shards,
+        fold,
+        label="detshard",
+        empty_schema={
+            id_col: pa.int64(),
+            "shard": pa.int64(),
+            "h": pa.int64(),
+            "pos": pa.int64(),
+        },
+    )

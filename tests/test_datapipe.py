@@ -470,3 +470,88 @@ def test_chunk_documents_empty_block():
                       "text": pa.array([], pa.string())})
     ds = ray.data.from_arrow(empty)
     assert datapipe.chunk_documents(ds, size=128, stride=96).count() == 0
+
+
+def test_group_topk_matches_pandas():
+    import pandas as pd
+
+    rows = []
+    for i in range(200):
+        rows.append({"doc_id": i, "grp": f"g{i % 5}", "score": (i * 37) % 101})
+    # planted tie: two docs in g0 share the top score — id order breaks it
+    rows.append({"doc_id": 500, "grp": "g0", "score": 1000})
+    rows.append({"doc_id": 501, "grp": "g0", "score": 1000})
+    ds = ray.data.from_items(rows).repartition(7)
+    out = (
+        datapipe.group_topk(
+            ds, group_col="grp", order_col="score", id_col="doc_id", k=3
+        )
+        .to_pandas()
+        .sort_values(["grp", "rank"])
+        .reset_index(drop=True)
+    )
+    df = pd.DataFrame(rows)
+    expect = (
+        df.sort_values(["grp", "score", "doc_id"], ascending=[True, False, True])
+        .groupby("grp")
+        .head(3)
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(expect) == 15
+    got0 = out[out["grp"] == "g0"]
+    assert got0["doc_id"].tolist()[:2] == [500, 501]
+    assert got0["rank"].tolist() == [1, 2, 3]
+    for g, sub in out.groupby("grp"):
+        esub = expect[expect["grp"] == g]
+        assert sub.sort_values("rank")["doc_id"].tolist() == esub["doc_id"].tolist()
+
+
+def test_group_topk_partition_invariant():
+    rows = [
+        {"doc_id": i, "grp": f"g{i % 3}", "score": (i * 13) % 50}
+        for i in range(90)
+    ]
+    a = (
+        datapipe.group_topk(
+            ray.data.from_items(rows).repartition(2),
+            group_col="grp", order_col="score", id_col="doc_id", k=4,
+        )
+        .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        datapipe.group_topk(
+            ray.data.from_items(rows).repartition(13),
+            group_col="grp", order_col="score", id_col="doc_id", k=4,
+        )
+        .to_pandas().sort_values(["grp", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_deterministic_shard_is_pure_function_of_id_and_seed():
+    rows = [{"doc_id": i} for i in range(333)]
+    a = (
+        datapipe.deterministic_shard(
+            ray.data.from_items(rows).repartition(3), n_shards=4, seed=7
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        datapipe.deterministic_shard(
+            ray.data.from_items(rows).repartition(11), n_shards=4, seed=7
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b)  # partitioning-invariant
+    # every shard's positions are 0..n-1 dense, ordered by (h, id)
+    for s, sub in a.groupby("shard"):
+        sub = sub.sort_values(["h", "doc_id"]).reset_index(drop=True)
+        assert sub["pos"].tolist() == list(range(len(sub)))
+    # a different seed produces a different order
+    c = (
+        datapipe.deterministic_shard(
+            ray.data.from_items(rows), n_shards=4, seed=8
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert not a["shard"].equals(c["shard"])
