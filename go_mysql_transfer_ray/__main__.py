@@ -111,10 +111,27 @@ def cmd_status(args) -> dict:
 def cmd_position(args) -> dict:
     """-position: overwrite the saved position (main.go:156-189) — here:
     force every partition manifest's watermark so the next replay
-    recomputes (or skips) accordingly."""
+    recomputes (or skips) accordingly.
+
+    Input validation parity with the reference (main.go:171-181: the
+    binlog File must look like 'mysql-bin.000001' and Position must be a
+    number): the watermark must be a GTID ≥ -1 (-1 = 'replay
+    everything'), and the target must actually be a lake with manifests
+    — a typo'd --out silently touching nothing would be the analogue of
+    saving a position to the wrong storage."""
     from .state import manifest as mstate
 
+    if args.force_watermark < -1:
+        raise SystemExit(
+            "error: --force-watermark must be a GTID >= -1 "
+            "(-1 replays everything)"
+        )
     n = mstate.set_watermarks(args.out, args.force_watermark)
+    if n == 0:
+        raise SystemExit(
+            f"error: no partition manifests under {args.out!r} "
+            "(not a lake, or never replayed)"
+        )
     return {"out": args.out, "partitions": n, "watermark": args.force_watermark}
 
 

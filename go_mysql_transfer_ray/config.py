@@ -96,6 +96,10 @@ class AppConfig:
     exporter_port: int = _DEF_EXPORTER_PORT
     enable_web_admin: bool = False
     web_admin_port: int = _DEF_WEB_ADMIN_PORT
+    # skip (with a warning) tables that have no primary key instead of
+    # failing startup — config.go SkipNoPkTable,
+    # transfer_service.go:253-257
+    skip_no_pk_table: bool = False
 
     def expand(self, tables: "list[str]") -> "dict[str, AppRule]":
         """Expand wildcard rules against the stream's concrete tables —
@@ -250,6 +254,7 @@ def load_app(src: str, *, base_dir: "str | None" = None) -> AppConfig:
         exporter_port=int(doc.get("exporter_addr") or _DEF_EXPORTER_PORT),
         enable_web_admin=_bool(doc.get("enable_web_admin", False)),
         web_admin_port=int(doc.get("web_admin_port") or _DEF_WEB_ADMIN_PORT),
+        skip_no_pk_table=_bool(doc.get("skip_no_pk_table", False)),
     )
 
 
@@ -397,6 +402,19 @@ def run_app(
     # GetTable for unknown tables, transfer_service.go:249-262); here the
     # stream defines what exists, so restrict to its tables
     matched = {t: r for t, r in app.expand(tables).items() if t in tables}
+    # PK guard (transfer_service.go:253-257): keyed sinks need a primary
+    # key; a PK-less table fails startup unless skip_no_pk_table is set,
+    # in which case it is dropped with a warning (the reference logs one)
+    for tbl in list(matched):
+        if not TABLE_PKS.get(tbl, ()):
+            if not app.skip_no_pk_table:
+                raise ValueError(f"{tbl} must have a PK for a column")
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skip_no_pk_table: skipping %s (no primary key)", tbl
+            )
+            del matched[tbl]
     if not matched:
         raise ValueError(
             f"no rule matches stream tables {tables} "

@@ -310,3 +310,23 @@ def test_run_app_kafka_multi_table_decodes_both(multi_events):
         pq.read_table(res["tables"]["users"]["path"]).column("value")[0].as_py()
     )
     assert set(env["date"]) == {"user_id", "plan"}
+
+
+def test_skip_no_pk_table(events, monkeypatch):
+    """PK guard parity (transfer_service.go:253-257): a PK-less table
+    fails startup unless skip_no_pk_table, which drops it with a
+    warning."""
+    import go_mysql_transfer_ray.config as cfgmod
+
+    monkeypatch.setitem(cfgmod.TABLE_PKS, "repos", ())
+    app = load_app(_yaml("kafka", "    include_columns: repo\n"))
+    with pytest.raises(ValueError, match="must have a PK"):
+        run_app(app, events, os.path.join(ROOT, "nopk"))
+    app2 = load_app(
+        _yaml("kafka", "    include_columns: repo\n",
+              extra="skip_no_pk_table: true\n")
+    )
+    # the only matched table is skipped → "no rule matches" surfaces
+    with pytest.raises(ValueError, match="no rule matches"):
+        run_app(app2, events, os.path.join(ROOT, "nopk2"))
+    assert app2.skip_no_pk_table is True
