@@ -54,20 +54,22 @@ def _bench_binlog_cfg(sf_dir: str, scale: int = 1):
     )
 
 
-def _phase_probe_mbps(size_mb: int = 256) -> float:
-    """VM-phase probe: min(first-touch fault, streaming copy) MB/s.
+def _phase_probe_mbps(size_mb: int = 64) -> float:
+    """VM-phase probe: min(first-touch fault, dense fresh-page write) MB/s.
 
     This VM has TWO distinct degraded modes (BASELINE.md):
     * first-touch page faults collapse to ~5 MB/s (round-3 finding);
-    * streaming memory bandwidth collapses to ~10-20 MB/s while the
-      zero-fill fault rate still reads healthy (round-4 finding: a 1 GiB
-      memcpy measured 0.02 GB/s with the fault probe at 1.7 GB/s, CPU
-      idle, steal 4-5% — host-side memory throttling).  Disk writes sink
-      to ~18 MB/s in the same phase (dd conv=fdatasync).
+    * DENSE WRITES TO FRESH PAGES collapse to ~10 MB/s while sparse
+      first-touch, reads, and re-writes of already-dirty pages all stay
+      fast (round-4 finding: 64 MB fill = 6.6 s vs 16 ms re-fill, CPU
+      idle, steal 4-5% — host-side dirty-page throttling, the signature
+      of snapshot-style dirty tracking).  Disk writes sink to ~18 MB/s
+      in the same phase (dd conv=fdatasync).  Every Arrow buffer
+      allocation is a dense fresh-page write, so engine throughput
+      tracks the WORSE of the two probes — the gate takes the min.
 
-    Engine throughput tracks the WORSE of the two, so the gate takes the
-    min.  A 256 MB touch + copy costs ~0.3 s when healthy — probing is
-    ~free."""
+    64 MB keeps a degraded-phase probe at ~6 s (256 MB would be ~30 s);
+    healthy it costs ~60 ms — probing is ~free."""
     import numpy as np
 
     t0 = time.perf_counter()
@@ -75,7 +77,7 @@ def _phase_probe_mbps(size_mb: int = 256) -> float:
     a[::4096] = 1
     fault = size_mb / (time.perf_counter() - t0)
     t0 = time.perf_counter()
-    b = a.copy()
+    b = a.copy()  # dense write to fresh pages (+ a streaming read)
     copy = size_mb / (time.perf_counter() - t0)
     del a, b
     return min(fault, copy)
