@@ -16,7 +16,10 @@ rule scripts actually use, from the public Lua 5.1 reference manual:
   part, ``k = v``, ``[expr] = v``), anonymous functions, method calls
   ``obj:m(...)``, string/number literals (incl. hex, exponents, long
   strings), varargs (``...`` with last-position expansion, ``select``,
-  ``unpack``); metatables and coroutines are NOT supported;
+  ``unpack``), metatables for the class/inheritance idiom (``__index``
+  table-or-function chains, ``__newindex``, ``setmetatable`` /
+  ``getmetatable`` / ``rawget`` / ``rawset``); operator metamethods
+  (``__add`` etc.) and coroutines are NOT supported;
 * semantics: ``nil``/``false`` falsy; numbers are float64 (printed via
   %.14g like gopher-lua's LNumber.String); ``..`` coerces numbers;
   arithmetic coerces numeric strings; ``#`` on strings and tables;
@@ -47,12 +50,16 @@ class LuaError(Exception):
 
 
 class LuaTable:
-    """Lua table: 1-based array part + insertion-ordered hash part."""
+    """Lua table: 1-based array part + insertion-ordered hash part.
+    ``metatable`` backs the __index/__newindex semantics (the class /
+    inheritance idiom); raw access (.get/.set) ignores it, interpreter
+    index paths honor it."""
 
-    __slots__ = ("hash",)
+    __slots__ = ("hash", "metatable")
 
     def __init__(self):
         self.hash: dict = {}
+        self.metatable: "LuaTable | None" = None
 
     # -- host helpers -----------------------------------------------------
     @classmethod
@@ -945,6 +952,31 @@ class Interpreter:
 
         g.declare("select", lua_select)
         g.declare("unpack", lua_unpack)
+
+        def lua_setmetatable(t=None, mt=None):
+            if not isinstance(t, LuaTable):
+                raise LuaError("bad argument #1 to 'setmetatable' (table expected)")
+            if mt is not None and not isinstance(mt, LuaTable):
+                raise LuaError("bad argument #2 to 'setmetatable' (nil or table expected)")
+            t.metatable = mt
+            return (t,)
+
+        def lua_rawset(t, k, v=None):
+            if not isinstance(t, LuaTable):
+                raise LuaError("bad argument #1 to 'rawset' (table expected)")
+            t.set(k, v)
+            return (t,)
+
+        g.declare("setmetatable", lua_setmetatable)
+        g.declare(
+            "getmetatable",
+            lambda t=None: (t.metatable if isinstance(t, LuaTable) else None,),
+        )
+        g.declare(
+            "rawget",
+            lambda t, k=None: (t.get(k) if isinstance(t, LuaTable) else None,),
+        )
+        g.declare("rawset", lua_rawset)
         g.declare("require", lua_require)
         g.declare("error", lua_error)
         g.declare("assert", lua_assert)
@@ -979,7 +1011,7 @@ class Interpreter:
                     key = self.eval(t[2], env)
                     if not isinstance(obj, LuaTable):
                         raise LuaError("attempt to index a non-table value")
-                    obj.set(key, v)
+                    self.mt_newindex(obj, key, v)
         elif kind == "exprstat":
             self.eval_multi(s[1], env)
         elif kind == "do":
@@ -1076,7 +1108,7 @@ class Interpreter:
         if e[0] == "method":
             obj = self.eval(e[1], env)
             if isinstance(obj, LuaTable):
-                fn = obj.get(e[2])
+                fn = self.mt_index(obj, e[2])
             elif isinstance(obj, str):
                 smod = self.root.lookup("string")
                 fn = smod.get(e[2]) if smod else None
@@ -1094,6 +1126,48 @@ class Interpreter:
             else:
                 args.append(self.eval(a, env))
         return args
+
+    def mt_index(self, obj: "LuaTable", key):
+        """Table read honoring the __index chain (Lua 5.1 §2.8): raw
+        value if present, else a table handler is searched recursively,
+        a function handler is called with (table, key)."""
+        val = obj.get(key)
+        if val is not None:
+            return val
+        seen = 0
+        cur = obj
+        while cur.metatable is not None:
+            handler = cur.metatable.get("__index")
+            if handler is None:
+                return None
+            if isinstance(handler, LuaTable):
+                val = handler.get(key)
+                if val is not None:
+                    return val
+                cur = handler
+                seen += 1
+                if seen > 100:  # the C limit for __index chains
+                    raise LuaError("'__index' chain too long; possible loop")
+                continue
+            res = self.call(handler, [cur, key])
+            return res[0] if res else None
+        return None
+
+    def mt_newindex(self, obj: "LuaTable", key, value):
+        """Table write honoring __newindex: raw set when the key already
+        exists or no handler; table handler recurses, function handler
+        is called with (table, key, value)."""
+        if obj.get(key) is not None or obj.metatable is None:
+            obj.set(key, value)
+            return
+        handler = obj.metatable.get("__newindex")
+        if handler is None:
+            obj.set(key, value)
+            return
+        if isinstance(handler, LuaTable):
+            self.mt_newindex(handler, key, value)
+            return
+        self.call(handler, [obj, key, value])
 
     def call(self, fn, args):
         if fn is None:
@@ -1119,7 +1193,7 @@ class Interpreter:
             obj = self.eval(e[1], env)
             key = self.eval(e[2], env)
             if isinstance(obj, LuaTable):
-                return obj.get(key)
+                return self.mt_index(obj, key)
             if isinstance(obj, str):
                 # string methods via the string module
                 smod = self.root.lookup("string")

@@ -262,3 +262,76 @@ def test_string_gmatch_match_byte_char():
     assert (it.global_get("f1"), it.global_get("f2"), it.global_get("cap")) == (
         3.0, 3.0, "9",
     )
+
+
+def test_metatable_index_class_idiom():
+    # the canonical Lua 5.1 OOP pattern: Class.__index = Class
+    it = run(
+        """
+        local Account = {}
+        Account.__index = Account
+
+        function Account.new(balance)
+          local a = setmetatable({}, Account)
+          a.balance = balance
+          return a
+        end
+
+        function Account:deposit(v)
+          self.balance = self.balance + v
+        end
+
+        function Account:get()
+          return self.balance
+        end
+
+        -- single inheritance: Savings falls back to Account
+        local Savings = setmetatable({}, {__index = Account})
+        Savings.__index = Savings
+        function Savings.new(balance)
+          local s = Account.new(balance)
+          return setmetatable(s, Savings)
+        end
+        function Savings:bonus() self.balance = self.balance + 1 end
+
+        local acc = Account.new(100)
+        acc:deposit(50)
+        a = acc:get()
+
+        local sv = Savings.new(10)
+        sv:bonus()
+        sv:deposit(5)          -- found via the __index chain
+        b = sv:get()
+        mt_ok = getmetatable(acc) == Account
+        """
+    )
+    assert it.global_get("a") == 150.0
+    assert it.global_get("b") == 16.0
+    assert it.global_get("mt_ok") is True
+
+
+def test_metatable_index_function_and_newindex():
+    it = run(
+        """
+        local log = {}
+        local t = setmetatable({}, {
+          __index = function(tbl, key) return "default_" .. key end,
+          __newindex = function(tbl, key, value)
+            rawset(tbl, key, value)
+            table.insert(log, key)
+          end,
+        })
+        t.x = 1           -- routed through __newindex (key absent)
+        t.x = 2           -- raw now (key present after rawset)
+        missing = t.y     -- __index function
+        present = rawget(t, "x")
+        raw_missing = rawget(t, "y")
+        n_logged = #log
+        logged = log[1]
+        """
+    )
+    assert it.global_get("missing") == "default_y"
+    assert it.global_get("present") == 2.0
+    assert it.global_get("raw_missing") is None
+    assert it.global_get("n_logged") == 1.0
+    assert it.global_get("logged") == "x"
