@@ -827,12 +827,18 @@ def q_decontaminate(sf_dir: str):
             }
         )
 
-    rel = _write_rel(
-        docs.map_batches(explode, batch_format="pyarrow"), "decon_stream"
-    )
-    # the exported relation already holds every shingle hash — derive the
-    # benchmark set from it instead of a second benchmark-side scan
-    rel_t = pq.read_table(rel, columns=["doc_id", "h"])
+    stream = docs.map_batches(explode, batch_format="pyarrow")
+    if os.environ.get("GRAFT_SKIP_ORACLE_EXPORT") == "1":
+        # bench mode: no export to re-read — take the benchmark-side
+        # hashes straight off the (streaming) shingle dataset
+        rel_t = pa.concat_tables(
+            ray.get(stream.to_arrow_refs()), promote_options="default"
+        )
+    else:
+        rel = _write_rel(stream, "decon_stream")
+        # the exported relation already holds every shingle hash — derive
+        # the benchmark set from it instead of a second benchmark-side scan
+        rel_t = pq.read_table(rel, columns=["doc_id", "h"])
     ids = rel_t.column("doc_id").to_numpy(zero_copy_only=False)
     bench = np.unique(
         rel_t.column("h").to_numpy(zero_copy_only=False)[ids % 37 == 0]
