@@ -32,11 +32,13 @@ the driver):
 * ANN — query matrix broadcast via ``ray.put`` once; each batch does one
   numpy matmul; top-k per batch then a tiny global re-reduce.
 
-Candidate-pair shuffles here use ``groupby("_part").map_groups`` over
-SKETCH METADATA (a few ints per doc×band) with a fixed small partition
-count — P Python calls, all inner work vectorized.  This is not the
-pattern CLAUDE.md bans (sort-exchanging the full-payload keyed merge);
-the payload never enters these shuffles.
+Every keyed fold here — candidate pairs, pair distinct, payload attach,
+sequence packing, the connected-components star rounds — rides the
+storage shuffle (``stages/shuffle.storage_fold``): no sort-based
+``groupby().map_groups`` exchange remains anywhere in this module (its
+wall time is CPU-count-invariant on this box, BASELINE.md), and the
+shuffled rows are SKETCH METADATA (a few ints per doc×band) — the
+payload never enters an exchange.
 """
 
 from __future__ import annotations
@@ -1699,11 +1701,17 @@ def pack_sequences(
             }
         )
 
+    from ..stages.shuffle import storage_fold
+
     prepped = ds.map_batches(prep, batch_format="pyarrow")
-    parts = _add_part(prepped, ["_range"], num_partitions)
-    return _ensure_schema(
-        parts.groupby("_part").map_groups(fold, batch_format="pyarrow"),
-        {
+    nparts = _fold_partitions(num_partitions)
+    parts = _add_part(prepped, ["_range"], nparts)
+    return storage_fold(
+        parts,
+        nparts,
+        fold,
+        label="packseq",
+        empty_schema={
             id_col: pa.int64(),
             "n_tokens": pa.int64(),
             "bin_id": pa.int64(),
@@ -1839,10 +1847,14 @@ def connected_components(
         )
 
     def star_round(edges, star_fn):
+        from ..stages.shuffle import storage_fold
+
         exploded = edges.map_batches(both_directions, batch_format="pyarrow")
         parts = _add_part(exploded, ["node"], num_partitions)
-        out = parts.groupby("_part").map_groups(star_fn, batch_format="pyarrow")
-        return _ensure_schema(out, {"a": pa.int64(), "b": pa.int64()})
+        return storage_fold(
+            parts, num_partitions, star_fn, label="ccstar",
+            empty_schema={"a": pa.int64(), "b": pa.int64()},
+        )
 
     def checksum(ds) -> tuple:
         def h(t: pa.Table) -> pa.Table:
