@@ -857,20 +857,42 @@ def q_json_props_stats(sf_dir: str):
     )
 
     def partial(t: pa.Table) -> pa.Table:
-        # ^-anchored: matches $.k only as the object's FIRST key, so a
-        # nested {"a": {"k": ...}} or a string value containing '"k":'
-        # can never be mistaken for the top-level property (the oracle
-        # uses real json_extract).  Unparseable props → null k, which the
-        # sum/max kernels skip (never a NaN→int64 cast failure).
+        # fast path: ^-anchored RE2 matches $.k as the object's FIRST key
+        # (the generator's shape) — a nested {"a": {"k": ...}} or a
+        # string value containing '"k":' can never be mistaken for the
+        # top-level property.  Rows the anchor misses but that DO contain
+        # a '"k"' token fall back to a real JSON parse (the reference
+        # parses JSON values outright, endpoint.go:136-145), so the
+        # engine's semantics are exactly the oracle's json_extract('$.k')
+        # for ANY valid props value, not just the current generator's.
+        props = t.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
         k = pc.cast(
             pc.struct_field(
-                pc.extract_regex(
-                    t.column("props"), r'^\{\s*"k"\s*:\s*(?P<k>-?\d+)'
-                ),
+                pc.extract_regex(props, r'^\{\s*"k"\s*:\s*(?P<k>-?\d+)'),
                 "k",
             ),
             pa.int64(),
         )
+        missed = pc.and_kleene(
+            pc.is_null(k), pc.match_substring(props, '"k"')
+        )
+        if pc.any(missed).as_py():
+            import json as _json
+
+            idx = np.flatnonzero(missed.to_numpy(zero_copy_only=False))
+            vals = pc.fill_null(k, 0).to_numpy(zero_copy_only=False).copy()
+            ok = pc.is_valid(k).to_numpy(zero_copy_only=False).copy()
+            for i in idx:
+                try:
+                    v = _json.loads(props[int(i)].as_py()).get("k")
+                except (ValueError, AttributeError):
+                    v = None
+                if isinstance(v, (int, float)) and not isinstance(v, bool):
+                    vals[i] = int(v)
+                    ok[i] = True
+            k = pa.array(vals, pa.int64(), mask=~ok)
         g = (
             pa.table({"event_type": t.column("event_type"), "k": k})
             .group_by("event_type")
@@ -1645,7 +1667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stock_projection_rule": q_stock_projection_rule,
         "composite_key_lineitem": q_composite_key_lineitem,
         "events_filter_project": q_events_filter_project,
-        "tpch_q1ish": q_tpch_q1ish,
+        "fingerprints": q_fingerprints,
         "window_daily_stats": q_window_daily_stats,
         "hopping_daily_stats": q_hopping_daily_stats,
         "sessionize": q_sessionize,
@@ -1677,8 +1699,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lua_mongo_upsert": q_lua_mongo_upsert,
         "lua_es_ops": q_lua_es_ops,
         # --- stable tail: modules untouched since their green row -------
+        # (doc_token_counts: functions/text.py only, no _write_rel;
+        # tpch_q1ish: plain ray groupby over lineitem — neither touches
+        # any module changed this round)
         "doc_token_counts": q_doc_token_counts,
-        "fingerprints": q_fingerprints,
+        "tpch_q1ish": q_tpch_q1ish,
         "value_encoder_kv": q_value_encoder_kv,
         "value_encoder_json": q_value_encoder_json,
         "value_encoder_vcommas": q_value_encoder_vcommas,
@@ -2576,13 +2601,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # JSON prop extraction + aggregation from RAW props strings
         "json_props_stats": """
+            WITH x AS (
+                SELECT event_type,
+                       CASE WHEN json_valid(props)
+                            THEN TRY_CAST(json_extract_string(props, '$.k')
+                                          AS BIGINT)
+                       END AS k
+                FROM events
+            )
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(sum(CAST(json_extract_string(props, '$.k')
-                                 AS BIGINT)) AS BIGINT) AS sum_k,
-                   CAST(max(CAST(json_extract_string(props, '$.k')
-                                 AS BIGINT)) AS BIGINT) AS max_k
-            FROM events GROUP BY event_type
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   CAST(max(k) AS BIGINT) AS max_k
+            FROM x GROUP BY event_type
         """,
         # winnowing restated over the engine's exported 5-gram hash
         # stream (h is UBIGINT so MIN is u64 order): per-window(4) min

@@ -422,8 +422,6 @@ def run_app(
         )
     os.makedirs(out_dir, exist_ok=True)
     results: dict = {"target": app.target, "tables": {}}
-    # one footer/DDL scan per run — every per-table pipeline below reuses it
-    facts = cdc.stream_facts(events_dir)
 
     if app.target in ("mongodb", "elasticsearch"):
         # upsert-by-key sinks → the keyed LWW lake (K2/K3 semantics)
@@ -457,6 +455,11 @@ def run_app(
             results["admin_url"] = f"http://127.0.0.1:{srv.port}"
             results["_admin_server"] = srv
         return results
+
+    # one footer/DDL scan per run, shared by every per-table pipeline
+    # below (the keyed-sink branch above replays via cdc.replay*, which
+    # owns its own facts — computing them up front would double the scan)
+    facts = cdc.stream_facts(events_dir)
 
     if app.target in ("kafka", "rocketmq", "rabbitmq"):
         from .pipelines.message_sink import message_stream

@@ -1153,10 +1153,14 @@ class Interpreter:
             return res[0] if res else None
         return None
 
-    def mt_newindex(self, obj: "LuaTable", key, value):
+    def mt_newindex(self, obj: "LuaTable", key, value, _depth: int = 0):
         """Table write honoring __newindex: raw set when the key already
         exists or no handler; table handler recurses, function handler
-        is called with (table, key, value)."""
+        is called with (table, key, value).  Handler cycles raise a
+        contained LuaError (Lua 5.1's 'loop in settable'), same cap as
+        the __index chain."""
+        if _depth > 100:
+            raise LuaError("'__newindex' chain too long; possible loop")
         if obj.get(key) is not None or obj.metatable is None:
             obj.set(key, value)
             return
@@ -1165,7 +1169,7 @@ class Interpreter:
             obj.set(key, value)
             return
         if isinstance(handler, LuaTable):
-            self.mt_newindex(handler, key, value)
+            self.mt_newindex(handler, key, value, _depth + 1)
             return
         self.call(handler, [obj, key, value])
 

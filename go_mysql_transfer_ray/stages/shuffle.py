@@ -246,7 +246,7 @@ def reap_stale_node_buffers(
     exclude_run_id: str,
     shuffle_dir: "str | None" = None,
     *,
-    stale_after_s: float = 300.0,
+    stale_after_s: float = 1800.0,
 ) -> int:
     """Kill leftover gmtbuf-* actors from PRIOR runs — without destroying
     a live concurrent run's buffers.
@@ -261,7 +261,9 @@ def reap_stale_node_buffers(
       buffered rows belong to a superseded attempt of the same lake);
     * its shuffle dir no longer exists on disk;
     * it has been idle longer than ``stale_after_s`` (a live stage A
-      appends continuously; a crashed driver's buffers only age);
+      appends at least once per batch; the 30-minute default sits far
+      above even this sandbox's documented multi-minute degraded-phase
+      stalls, so a merely-slow live run is not mistaken for a corpse);
     * it does not answer ``describe()`` within 10 s (wedged).
 
     A RESPONSIVE, recently-active buffer for a DIFFERENT shuffle dir

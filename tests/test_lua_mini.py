@@ -335,3 +335,17 @@ def test_metatable_index_function_and_newindex():
     assert it.global_get("raw_missing") is None
     assert it.global_get("n_logged") == 1.0
     assert it.global_get("logged") == "x"
+
+
+def test_newindex_cycle_is_contained():
+    # a __newindex handler cycle must raise a LuaError ('loop in
+    # settable' in C Lua), not escape as a Python RecursionError
+    with pytest.raises(LuaError, match="__newindex"):
+        run(
+            """
+            local a, b = {}, {}
+            setmetatable(a, {__newindex = b})
+            setmetatable(b, {__newindex = a})
+            a.x = 1
+            """
+        )
