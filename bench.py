@@ -83,12 +83,16 @@ def _phase_probe_mbps(size_mb: int = 64) -> float:
     return min(fault, copy)
 
 
-def wait_healthy_phase(min_mbps: float = 600.0, max_wait_s: float = 240.0) -> float:
-    """Block (bounded) until the VM's fault bandwidth clears ``min_mbps``.
+def wait_healthy_phase(min_mbps: float = 100.0, max_wait_s: float = 240.0) -> float:
+    """Block (bounded) until the VM's probe bandwidth clears ``min_mbps``.
 
     Measuring the engine during a degraded VM phase measures the VM; the
-    criterion is about steady-state engine throughput.  Returns the last
-    probe reading either way so callers can log it."""
+    criterion is about steady-state engine throughput.  The threshold is
+    calibrated to the DESTRUCTIVE tier only: the ~10-20 MB/s dense-write
+    mode inflates runs 3-6×, while a ~210 MB/s tier measured full-record
+    engine throughput (BASELINE.md round 4) — gating at 600 there would
+    burn the whole wait on a phase that was actually fine.  Returns the
+    last probe reading either way so callers can log it."""
     deadline = time.monotonic() + max_wait_s
     mbps = _phase_probe_mbps()
     while mbps < min_mbps and time.monotonic() < deadline:
