@@ -16,10 +16,14 @@ rule scripts actually use, from the public Lua 5.1 reference manual:
   part, ``k = v``, ``[expr] = v``), anonymous functions, method calls
   ``obj:m(...)``, string/number literals (incl. hex, exponents, long
   strings), varargs (``...`` with last-position expansion, ``select``,
-  ``unpack``), metatables for the class/inheritance idiom (``__index``
-  table-or-function chains, ``__newindex``, ``setmetatable`` /
-  ``getmetatable`` / ``rawget`` / ``rawset``); operator metamethods
-  (``__add`` etc.) and coroutines are NOT supported;
+  ``unpack``), metatables (``__index`` table-or-function chains,
+  ``__newindex``, ``setmetatable`` / ``getmetatable`` / ``rawget`` /
+  ``rawset`` / ``rawequal``) and the operator metamethods (``__add
+  __sub __mul __div __mod __pow __unm __concat __len __eq __lt __le
+  __call __tostring``, Lua 5.1 §2.8 handler-selection rules);
+  coroutines (``create resume yield status wrap running``, §2.11,
+  thread-backed strict hand-off); protected calls (``pcall`` /
+  ``xpcall`` preserving non-string error values);
 * semantics: ``nil``/``false`` falsy; numbers are float64 (printed via
   %.14g like gopher-lua's LNumber.String); ``..`` coerces numbers;
   arithmetic coerces numeric strings; ``#`` on strings and tables;
@@ -42,7 +46,13 @@ import re
 
 
 class LuaError(Exception):
-    pass
+    """Raised Lua error.  ``lua_value`` preserves the original error
+    value (Lua errors can be tables, Lua 5.1 §2.8) so ``pcall`` can
+    return it unchanged; the exception message is its string form."""
+
+    def __init__(self, msg, lua_value=None):
+        super().__init__(msg)
+        self.lua_value = lua_value if lua_value is not None else msg
 
 
 # ---------------------------------------------------------------------------
@@ -172,6 +182,8 @@ def lua_tostring(v) -> str:
         return v
     if isinstance(v, LuaTable):
         return f"table: 0x{id(v):012x}"
+    if isinstance(v, LuaCoroutine):
+        return f"thread: 0x{id(v):012x}"
     if callable(v):
         return f"function: 0x{id(v):012x}"
     return str(v)
@@ -680,6 +692,86 @@ class LuaFunction:
         return ()
 
 
+class LuaCoroutine:
+    """Lua 5.1 coroutine (§2.11) backed by a daemon thread with strict
+    hand-off: exactly one of (resumer, coroutine body) runs at any
+    moment — ``resume`` blocks on ``_yield_evt`` until the body yields,
+    returns, or errors; ``yield`` blocks on ``_resume_evt``.  The
+    interpreter is therefore never entered concurrently, matching the
+    cooperative semantics of the C implementation (and gopher-lua's
+    channel-based one)."""
+
+    def __init__(self, fn, interp):
+        self.fn, self.interp = fn, interp
+        self.status = "suspended"
+        self._thread = None
+        self._xfer = None          # values crossing the hand-off
+        self._done = False
+        self._error = None
+        import threading
+
+        self._resume_evt = threading.Event()
+        self._yield_evt = threading.Event()
+        self._threading = threading
+
+    def resume(self, *args):
+        if self.status == "dead":
+            return (False, "cannot resume dead coroutine")
+        if self.status != "suspended":
+            return (False, "cannot resume non-suspended coroutine")
+        prev = self.interp.current_coroutine
+        self.interp.current_coroutine = self
+        self.status = "running"
+        self._xfer = args
+        if self._thread is None:
+            self._thread = self._threading.Thread(
+                target=self._main, daemon=True
+            )
+            self._thread.start()
+        else:
+            self._resume_evt.set()
+        self._yield_evt.wait()
+        self._yield_evt.clear()
+        self.interp.current_coroutine = prev
+        if self._error is not None:
+            self.status = "dead"
+            err, self._error = self._error, None
+            return (False, err.lua_value)
+        if self._done:
+            self.status = "dead"
+        else:
+            self.status = "suspended"
+        return (True,) + tuple(self._xfer)
+
+    def _main(self):
+        try:
+            self._xfer = tuple(self.interp.call(self.fn, list(self._xfer)))
+        except LuaError as e:
+            self._error = e
+        except Exception as e:  # host error surfaces as a Lua error value
+            self._error = LuaError(str(e))
+        self._done = True
+        self._yield_evt.set()
+
+    def do_yield(self, *args):
+        self._xfer = args
+        self._yield_evt.set()
+        self._resume_evt.wait()
+        self._resume_evt.clear()
+        return tuple(self._xfer)
+
+
+def _mt_handler(v, name):
+    """Metamethod lookup: ``v``'s metatable entry ``name`` or None."""
+    if isinstance(v, LuaTable) and v.metatable is not None:
+        return v.metatable.get(name)
+    return None
+
+
+_ARITH_MM = {"+": "__add", "-": "__sub", "*": "__mul", "/": "__div",
+             "%": "__mod", "^": "__pow"}
+
+
 def _arith(op, a, b):
     x, y = lua_tonumber(a), lua_tonumber(b)
     if x is None or y is None:
@@ -730,6 +822,7 @@ class Interpreter:
                  globals_: "dict | None" = None):
         self.ast = parse(src)
         self.modules = dict(modules or {})
+        self.current_coroutine = None
         self.root = _Env()
         self._install_stdlib()
         for k, v in (globals_ or {}).items():
@@ -757,7 +850,7 @@ class Interpreter:
         self.printed = prints
 
         def lua_print(*args):
-            prints.append("\t".join(lua_tostring(a) for a in args))
+            prints.append("\t".join(self.tostring_value(a) for a in args))
             return ()
 
         def lua_type(v=None):
@@ -771,6 +864,8 @@ class Interpreter:
                 return ("string",)
             if isinstance(v, LuaTable):
                 return ("table",)
+            if isinstance(v, LuaCoroutine):
+                return ("thread",)
             return ("function",)
 
         def lua_pairs(t):
@@ -804,7 +899,7 @@ class Interpreter:
             raise LuaError(f"module '{name}' not found")
 
         def lua_error(msg=None, _level=None):
-            raise LuaError(lua_tostring(msg))
+            raise LuaError(lua_tostring(msg), lua_value=msg)
 
         def lua_assert(v=None, msg=None):
             if not _truthy(v):
@@ -926,10 +1021,34 @@ class Interpreter:
         math_mod.set("huge", None)
         math_mod.hash["huge"] = float("inf")
 
+        def lua_pcall(fn=None, *args):
+            """pcall (Lua 5.1 §5.1): protected call — (true, results...)
+            or (false, error value); the original error VALUE is
+            preserved (tables commonly carry structured errors)."""
+            try:
+                return (True,) + tuple(self.call(fn, list(args)))
+            except LuaError as e:
+                return (False, e.lua_value)
+
+        def lua_xpcall(fn=None, handler=None):
+            try:
+                return (True,) + tuple(self.call(fn, []))
+            except LuaError as e:
+                res = self.call(handler, [e.lua_value])
+                return (False,) + tuple(res)
+
+        def lua_rawequal(a=None, b=None):
+            if isinstance(a, LuaTable) or isinstance(b, LuaTable):
+                return (a is b,)
+            return (_lua_eq(a, b),)
+
         g = self.root
         g.declare("print", lua_print)
         g.declare("type", lua_type)
-        g.declare("tostring", lambda v=None: (lua_tostring(v),))
+        g.declare("tostring", lambda v=None: (self.tostring_value(v),))
+        g.declare("pcall", lua_pcall)
+        g.declare("xpcall", lua_xpcall)
+        g.declare("rawequal", lua_rawequal)
         g.declare("tonumber", lambda v=None, base=None: (
             (float(int(v, int(base))) if isinstance(v, str) and base is not None else lua_tonumber(v)),
         ))
@@ -977,9 +1096,56 @@ class Interpreter:
             lambda t, k=None: (t.get(k) if isinstance(t, LuaTable) else None,),
         )
         g.declare("rawset", lua_rawset)
+        # coroutine library (Lua 5.1 §5.2) — create/resume/yield/status/
+        # wrap/running, thread-backed strict hand-off (LuaCoroutine)
+        co_mod = LuaTable.from_dict({})
+
+        def co_create(fn=None):
+            if not (isinstance(fn, LuaFunction) or callable(fn)):
+                raise LuaError("bad argument #1 to 'create' (function expected)")
+            return (LuaCoroutine(fn, self),)
+
+        def co_resume(co=None, *args):
+            if not isinstance(co, LuaCoroutine):
+                raise LuaError("bad argument #1 to 'resume' (coroutine expected)")
+            return co.resume(*args)
+
+        def co_yield(*args):
+            co = self.current_coroutine
+            if co is None:
+                raise LuaError("attempt to yield from outside a coroutine")
+            return co.do_yield(*args)
+
+        def co_status(co=None):
+            if not isinstance(co, LuaCoroutine):
+                raise LuaError("bad argument #1 to 'status' (coroutine expected)")
+            if co is self.current_coroutine:
+                return ("running",)
+            # a coroutine that resumed another is 'normal' (5.1 §5.2)
+            return ("normal" if co.status == "running" else co.status,)
+
+        def co_wrap(fn=None):
+            co = co_create(fn)[0]
+
+            def wrapped(*args):
+                res = co.resume(*args)
+                if not res[0]:
+                    raise LuaError(lua_tostring(res[1]), lua_value=res[1])
+                return tuple(res[1:])
+
+            return (wrapped,)
+
+        co_mod.set("create", co_create)
+        co_mod.set("resume", co_resume)
+        co_mod.set("yield", co_yield)
+        co_mod.set("status", co_status)
+        co_mod.set("wrap", co_wrap)
+        co_mod.set("running", lambda: (self.current_coroutine,))
+
         g.declare("require", lua_require)
         g.declare("error", lua_error)
         g.declare("assert", lua_assert)
+        g.declare("coroutine", co_mod)
         g.declare("string", string_mod)
         g.declare("table", table_mod)
         g.declare("math", math_mod)
@@ -1178,6 +1344,11 @@ class Interpreter:
             raise LuaError("attempt to call a nil value")
         if isinstance(fn, LuaFunction):
             return fn(*args)
+        if isinstance(fn, LuaTable):
+            h = _mt_handler(fn, "__call")
+            if h is not None:
+                return self.call(h, [fn] + list(args))
+            raise LuaError("attempt to call a table value")
         if callable(fn):
             res = fn(*args)
             if res is None:
@@ -1186,6 +1357,13 @@ class Interpreter:
                 return res
             return (res,)
         raise LuaError(f"attempt to call a {type(fn).__name__} value")
+
+    def tostring_value(self, v):
+        """``tostring``/``print`` path honoring ``__tostring``."""
+        h = _mt_handler(v, "__tostring")
+        if h is not None:
+            return lua_tostring(self._first(self.call(h, [v])))
+        return lua_tostring(v)
 
     def eval(self, e, env):
         kind = e[0]
@@ -1233,8 +1411,12 @@ class Interpreter:
             if op == "not":
                 return not _truthy(self.eval(e[2], env))
             if op == "-":
-                v = lua_tonumber(self.eval(e[2], env))
+                raw = self.eval(e[2], env)
+                v = lua_tonumber(raw)
                 if v is None:
+                    h = _mt_handler(raw, "__unm")
+                    if h is not None:
+                        return self._first(self.call(h, [raw, raw]))
                     raise LuaError("attempt to perform arithmetic on a non-number")
                 return -v
             if op == "#":
@@ -1242,6 +1424,12 @@ class Interpreter:
                 if isinstance(v, str):
                     return float(len(v))
                 if isinstance(v, LuaTable):
+                    # gopher-lua consults __len for tables before the raw
+                    # border (a superset of strict 5.1, identical when no
+                    # metatable is set)
+                    h = _mt_handler(v, "__len")
+                    if h is not None:
+                        return self._first(self.call(h, [v]))
                     return float(v.length())
                 raise LuaError("attempt to get length of a non-table/string")
         if kind == "binop":
@@ -1255,15 +1443,62 @@ class Interpreter:
             a = self.eval(e[2], env)
             b = self.eval(e[3], env)
             if op == "==":
-                return _lua_eq(a, b)
+                return self._eq(a, b)
             if op == "~=":
-                return not _lua_eq(a, b)
+                return not self._eq(a, b)
             if op in ("<", ">", "<=", ">="):
-                return _compare(op, a, b)
+                return self._order(op, a, b)
             if op == "..":
-                return _concat(a) + _concat(b)
+                if _concatable(a) and _concatable(b):
+                    return _concat(a) + _concat(b)
+                h = _mt_handler(a, "__concat") or _mt_handler(b, "__concat")
+                if h is not None:
+                    return self._first(self.call(h, [a, b]))
+                return _concat(a) + _concat(b)  # raises the precise error
+            if lua_tonumber(a) is None or lua_tonumber(b) is None:
+                h = _mt_handler(a, _ARITH_MM[op]) or _mt_handler(b, _ARITH_MM[op])
+                if h is not None:
+                    return self._first(self.call(h, [a, b]))
             return _arith(op, a, b)
         raise LuaError(f"unknown expression {kind}")
+
+    # -- metamethod-aware operator semantics (Lua 5.1 §2.8) ----------------
+    @staticmethod
+    def _first(res):
+        return res[0] if res else None
+
+    def _eq(self, a, b):
+        """``==``: raw equality, then ``__eq`` — consulted only when both
+        operands are tables sharing the SAME handler (5.1 getcomphandler)."""
+        if _lua_eq(a, b):
+            return True
+        if isinstance(a, LuaTable) and isinstance(b, LuaTable):
+            h1, h2 = _mt_handler(a, "__eq"), _mt_handler(b, "__eq")
+            if h1 is not None and h1 is h2:
+                return _truthy(self._first(self.call(h1, [a, b])))
+        return False
+
+    def _order(self, op, a, b):
+        """``< > <= >=``: primitive for number/number and string/string,
+        else ``__lt``/``__le``; a missing ``__le`` falls back to
+        ``not (b < a)`` via ``__lt`` (5.1 §2.8 'le' event)."""
+        num = (isinstance(a, (int, float)) and not isinstance(a, bool)
+               and isinstance(b, (int, float)) and not isinstance(b, bool))
+        if num or (isinstance(a, str) and isinstance(b, str)):
+            return _compare(op, a, b)
+        if op == ">":
+            return self._order("<", b, a)
+        if op == ">=":
+            return self._order("<=", b, a)
+        mm = "__lt" if op == "<" else "__le"
+        h = _mt_handler(a, mm) or _mt_handler(b, mm)
+        if h is not None:
+            return _truthy(self._first(self.call(h, [a, b])))
+        if op == "<=":
+            h = _mt_handler(a, "__lt") or _mt_handler(b, "__lt")
+            if h is not None:
+                return not _truthy(self._first(self.call(h, [b, a])))
+        return _compare(op, a, b)  # raises the precise error
 
 
 def _lua_eq(a, b):
@@ -1278,6 +1513,12 @@ def _lua_eq(a, b):
     if isinstance(a, (LuaTable,)) or callable(a):
         return a is b
     return a == b
+
+
+def _concatable(v) -> bool:
+    return isinstance(v, str) or (
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+    )
 
 
 def _concat(v) -> str:

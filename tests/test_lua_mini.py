@@ -349,3 +349,157 @@ def test_newindex_cycle_is_contained():
             a.x = 1
             """
         )
+
+
+def test_operator_metamethods_arith_unm_concat():
+    # the vector/class idiom from PiL 13.1-13.3: every binary operator
+    # routes through the metatable when an operand is a table
+    it = run(
+        """
+        local mt = {}
+        mt.__add = function(a, b) return setmetatable({x = a.x + b.x}, mt) end
+        mt.__sub = function(a, b) return setmetatable({x = a.x - b.x}, mt) end
+        mt.__mul = function(a, b) return setmetatable({x = a.x * b.x}, mt) end
+        mt.__div = function(a, b) return setmetatable({x = a.x / b.x}, mt) end
+        mt.__mod = function(a, b) return setmetatable({x = a.x % b.x}, mt) end
+        mt.__pow = function(a, b) return setmetatable({x = a.x ^ b.x}, mt) end
+        mt.__unm = function(a) return setmetatable({x = -a.x}, mt) end
+        mt.__concat = function(a, b)
+            local ax = type(a) == "table" and a.x or a
+            local bx = type(b) == "table" and b.x or b
+            return ax .. "|" .. bx
+        end
+        mt.__len = function(a) return 42 end
+        local v1 = setmetatable({x = 10}, mt)
+        local v2 = setmetatable({x = 4}, mt)
+        add = (v1 + v2).x
+        sub = (v1 - v2).x
+        mul = (v1 * v2).x
+        div = (v1 / v2).x
+        mod = (v1 % v2).x
+        pow = (v1 ^ v2).x
+        neg = (-v1).x
+        cat1 = v1 .. "s"
+        cat2 = "s" .. v1
+        len = #v1
+        """
+    )
+    assert it.global_get("add") == 14.0
+    assert it.global_get("sub") == 6.0
+    assert it.global_get("mul") == 40.0
+    assert it.global_get("div") == 2.5
+    assert it.global_get("mod") == 2.0
+    assert it.global_get("pow") == 10000.0
+    assert it.global_get("neg") == -10.0
+    assert it.global_get("cat1") == "10|s"
+    assert it.global_get("cat2") == "s|10"
+    assert it.global_get("len") == 42.0
+
+
+def test_operator_metamethods_eq_lt_le_call_tostring():
+    it = run(
+        """
+        local mt = {}
+        mt.__eq = function(a, b) return a.x == b.x end
+        mt.__lt = function(a, b) return a.x < b.x end
+        -- no __le: 'a <= b' must fall back to 'not (b < a)' via __lt
+        mt.__call = function(self, k) return self.x + k end
+        mt.__tostring = function(self) return "V(" .. self.x .. ")" end
+        local a = setmetatable({x = 1}, mt)
+        local b = setmetatable({x = 1}, mt)
+        local c = setmetatable({x = 2}, mt)
+        eq = a == b
+        ne = a == c
+        lt = a < c
+        gt = c > a
+        le = a <= b
+        ge = c >= a
+        called = a(41)
+        s = tostring(c)
+        -- __eq only fires when BOTH operands share the handler (5.1)
+        plain = a == {x = 1}
+        """
+    )
+    assert it.global_get("eq") is True
+    assert it.global_get("ne") is False
+    assert it.global_get("lt") is True
+    assert it.global_get("gt") is True
+    assert it.global_get("le") is True
+    assert it.global_get("ge") is True
+    assert it.global_get("called") == 42.0
+    assert it.global_get("s") == "V(2)"
+    assert it.global_get("plain") is False
+
+
+def test_pcall_xpcall_preserve_error_values():
+    it = run(
+        """
+        ok1, v1 = pcall(function() return 7, 8 end)
+        ok2, v2 = pcall(function() error({code = 404}) end)
+        ok3, v3 = pcall(function() error("boom") end)
+        ok4, v4 = xpcall(
+            function() error("x") end,
+            function(e) return "handled:" .. e end
+        )
+        req = rawequal({}, {})
+        """
+    )
+    assert it.global_get("ok1") is True and it.global_get("v1") == 7.0
+    assert it.global_get("ok2") is False
+    assert to_python(it.global_get("v2")) == {"code": 404.0}
+    assert it.global_get("ok3") is False and it.global_get("v3") == "boom"
+    assert it.global_get("ok4") is False
+    assert it.global_get("v4") == "handled:x"
+    assert it.global_get("req") is False
+
+
+def test_coroutines_basic_producer_consumer():
+    it = run(
+        """
+        local co = coroutine.create(function(a, b)
+            local c = coroutine.yield(a + b)
+            local d, e = coroutine.yield(c * 2)
+            return d + e
+        end)
+        s0 = coroutine.status(co)
+        ok1, r1 = coroutine.resume(co, 3, 4)
+        s1 = coroutine.status(co)
+        ok2, r2 = coroutine.resume(co, 10)
+        ok3, r3 = coroutine.resume(co, 5, 6)
+        s3 = coroutine.status(co)
+        ok4, r4 = coroutine.resume(co)
+        """
+    )
+    assert it.global_get("s0") == "suspended"
+    assert it.global_get("ok1") is True and it.global_get("r1") == 7.0
+    assert it.global_get("s1") == "suspended"
+    assert it.global_get("ok2") is True and it.global_get("r2") == 20.0
+    assert it.global_get("ok3") is True and it.global_get("r3") == 11.0
+    assert it.global_get("s3") == "dead"
+    assert it.global_get("ok4") is False
+    assert "dead" in it.global_get("r4")
+
+
+def test_coroutine_wrap_iterator_idiom():
+    # PiL 9.3: generator via wrap; also errors propagate out of wrap
+    it = run(
+        """
+        local gen = coroutine.wrap(function(n)
+            for i = 1, n do coroutine.yield(i * i) end
+            return -1
+        end)
+        acc = {}
+        table.insert(acc, gen(3))
+        table.insert(acc, gen())
+        table.insert(acc, gen())
+        table.insert(acc, gen())
+        ok = pcall(function()
+            local bad = coroutine.wrap(function() error("inner") end)
+            bad()
+        end)
+        yields_outside = pcall(function() coroutine.yield(1) end)
+        """
+    )
+    assert to_python(it.global_get("acc")) == [1.0, 4.0, 9.0, -1.0]
+    assert it.global_get("ok") is False
+    assert it.global_get("yields_outside") is False
