@@ -823,12 +823,69 @@ def simhash_dedup(
 # similarity search
 
 
-class BruteForceTopK:
-    """Actor-pool ANN stage: queries broadcast once, one matmul per batch.
+# per-worker-process cache of normalized query matrices, keyed by the
+# broadcast ObjectRef: a TASK-pool stage gets broadcast-once-per-process
+# semantics without paying an actor-pool spawn (~3 s per invocation on
+# this box for a stage whose only "state" is one small matrix; ray.get
+# of the same ref is a local plasma lookup after the first touch)
+_QN_CACHE: dict = {}
 
-    Emits each batch's local top-k per query; a tiny driver-side re-reduce
-    yields the global top-k — the canonical broadcast + partial-reduce
-    pattern (no shuffle of the embedding corpus)."""
+
+def _normalized_queries(queries_ref) -> np.ndarray:
+    key = queries_ref.hex() if hasattr(queries_ref, "hex") else id(queries_ref)
+    qn = _QN_CACHE.get(key)
+    if qn is None:
+        q = np.asarray(ray.get(queries_ref), dtype=np.float32)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        _QN_CACHE.clear()  # one live query set per worker is the norm
+        _QN_CACHE[key] = qn
+    return qn
+
+
+def brute_topk_batch(
+    batch: pa.Table, queries_ref, k: int, id_col: str, vec_col: str
+) -> pa.Table:
+    """Per-block ANN partial: queries broadcast once per process, one
+    matmul per batch, emits the batch's local top-k per query (the
+    canonical broadcast + partial-reduce pattern — the embedding corpus
+    is never shuffled)."""
+    return _topk_partial(_normalized_queries(queries_ref), batch, k, id_col, vec_col)
+
+
+def _topk_partial(
+    qn: np.ndarray, batch: pa.Table, k: int, id_col: str, vec_col: str
+) -> pa.Table:
+    if batch.num_rows == 0:  # fully-pruned block (LSH/IVF front-ends)
+        return pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    mat = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+        np.float32
+    )
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    sims = qn @ mat.T  # (Q, n)
+    k = min(k, sims.shape[1])
+    top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    rows_q = np.repeat(np.arange(sims.shape[0]), k)
+    flat_idx = top.reshape(-1)
+    return pa.table(
+        {
+            "query_id": pa.array(rows_q.astype(np.int64)),
+            "neighbor_id": pa.array(ids[flat_idx].astype(np.int64)),
+            "cosine": pa.array(sims[rows_q, flat_idx].astype(np.float64)),
+        }
+    )
+
+
+class BruteForceTopK:
+    """Actor-pool form of ``brute_topk_batch`` (kept for callers that
+    want an explicit long-lived pool, e.g. a resident serving stage);
+    the batch math is shared."""
 
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         q = ray.get(queries_ref)
@@ -840,31 +897,7 @@ class BruteForceTopK:
         self.id_col, self.vec_col = id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:  # fully-pruned block (LSH/IVF front-ends)
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "cosine": pa.array([], pa.float64()),
-                }
-            )
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        mat = np.stack(batch.column(self.vec_col).to_numpy(zero_copy_only=False)).astype(
-            np.float32
-        )
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = self.qn @ mat.T  # (Q, n)
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows_q = np.repeat(np.arange(sims.shape[0]), k)
-        flat_idx = top.reshape(-1)
-        return pa.table(
-            {
-                "query_id": pa.array(rows_q.astype(np.int64)),
-                "neighbor_id": pa.array(ids[flat_idx].astype(np.int64)),
-                "cosine": pa.array(sims[rows_q, flat_idx].astype(np.float64)),
-            }
-        )
+        return _topk_partial(self.qn, batch, self.k, self.id_col, self.vec_col)
 
 
 def ann_topk(
@@ -887,10 +920,13 @@ def ann_topk(
     from ..stages.shuffle import storage_fold
 
     qref = ray.put(np.asarray(queries))
+    # task pool, not an actor pool: the stage's only state is the small
+    # broadcast query matrix (cached per worker process in
+    # _normalized_queries) — an actor pool would pay ~3 s of spawn per
+    # invocation for nothing
     partials = ds.map_batches(
-        BruteForceTopK,
-        fn_constructor_args=(qref, k, id_col, vec_col),
-        concurrency=(1, 8),
+        brute_topk_batch,
+        fn_args=(qref, k, id_col, vec_col),
         batch_format="pyarrow",
     )
     schema = {
