@@ -48,7 +48,7 @@ from ..schema import BASE_COLUMNS
 from ..stages import shuffle as shfl
 from ..stages.decode import Decoder
 from ..stages.merge import Combiner, final_merge
-from ..stages.rule_engine import RuleEngine
+from ..stages.rule_engine import RuleEngine, rule_engine_batch
 from ..state import manifest as mstate
 
 # Column specs of the decoded change rows (post-decode they are already
@@ -378,19 +378,30 @@ def replay(
     if transform is not None:
         ds = ds.map_batches(transform, batch_format="pyarrow", batch_size=batch_size)
     if rule_config is not None:
-        # stateful actor pool: plan compiled + lookup fetched once per actor
         lookup_ref = ray.put(lookup) if lookup else None
-        ds = ds.map_batches(
-            RuleEngine,
-            fn_constructor_args=(rule_config, _stream_specs(ddl_events)),
-            fn_constructor_kwargs={"udf": udf, "lookup_ref": lookup_ref},
-            # (min,max) autoscaling so the pool never reserves every CPU and
-            # starves the read / shuffle stages (ray_guide: size pools to
-            # leave headroom)
-            concurrency=rule_concurrency,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
+        if udf is None:
+            # plain compiled-plan projection: task pool with a per-process
+            # plan cache — every CPU participates and no actor spawn is
+            # paid per invocation (stages.rule_engine.rule_engine_batch)
+            ds = ds.map_batches(
+                rule_engine_batch,
+                fn_args=(rule_config, _stream_specs(ddl_events), lookup_ref),
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
+        else:
+            # UDF closures are real per-actor state: keep the actor pool,
+            # (min,max) autoscaling so the pool never reserves every CPU
+            # and starves the read / shuffle stages (ray_guide: size pools
+            # to leave headroom)
+            ds = ds.map_batches(
+                RuleEngine,
+                fn_constructor_args=(rule_config, _stream_specs(ddl_events)),
+                fn_constructor_kwargs={"udf": udf, "lookup_ref": lookup_ref},
+                concurrency=rule_concurrency,
+                batch_format="pyarrow",
+                batch_size=batch_size,
+            )
     else:
         # keep only merge-relevant columns before the shuffle
         ds = ds.select_columns(["key", "gtid", "seq_in_txn", "op", *final_cols])
@@ -575,7 +586,7 @@ def replay_multi(
     from ..schema import TABLE_COLUMNS
     from ..stages.decode import MultiDecoder
     from ..stages.merge import keep_last_per_key
-    from ..stages.rule_engine import MultiRuleEngine
+    from ..stages.rule_engine import multi_rule_engine_batch
 
     tables = list(tables or _stream_tables(events_dir))
     rules = dict(rules or {})
@@ -664,10 +675,11 @@ def replay_multi(
         batch_size=batch_size,
     )
     if any(rules.get(t) is not None for t in tables):
+        # task pool with per-process compiled-plan cache (no UDFs on the
+        # multi path): all CPUs participate, no per-invocation actor spawn
         ds = ds.map_batches(
-            MultiRuleEngine,
-            fn_constructor_args=({t: rules.get(t) for t in tables}, rule_specs),
-            concurrency=rule_concurrency,
+            multi_rule_engine_batch,
+            fn_args=({t: rules.get(t) for t in tables}, rule_specs),
             batch_format="pyarrow",
             batch_size=batch_size,
         )

@@ -247,3 +247,68 @@ class RuleEngine:
         for name in all_names:
             cols[name] = pa.array([r.get(name) for r in out_rows])
         return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# task-pool variants for the no-UDF paths
+#
+# When a rule stage's only state is compiled RulePlans (and at most a
+# broadcast lookup dict), an actor pool buys nothing over a task pool
+# with a per-worker-process cache — and it costs: ~1-3 s of actor spawn
+# per pipeline invocation, plus a concurrency cap that leaves most of
+# the node's CPUs out of the rule stage while decode/shuffle stages run
+# task-parallel.  Plan compile is string parsing (microseconds) and
+# ray.get of the same lookup ref is a local plasma lookup, so the
+# per-process rebuild is ~free.  The actor classes above remain the
+# right tool when a UDF closure or Lua chunk is part of the state.
+
+_ENGINE_CACHE: dict = {}
+_ENGINE_CACHE_MAX = 8
+
+
+def _cached_engine(key, build):
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        if len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
+            _ENGINE_CACHE.clear()
+        eng = build()
+        _ENGINE_CACHE[key] = eng
+    return eng
+
+
+def multi_rule_engine_batch(
+    batch: pa.Table,
+    configs: "dict[str, RuleConfig | None]",
+    specs: "dict[str, list[ColumnSpec]]",
+) -> pa.Table:
+    """Task-pool form of ``MultiRuleEngine`` (dataclass reprs key the
+    per-process compiled-plan cache)."""
+    key = (
+        "multi",
+        repr(sorted(configs.items())),
+        repr(sorted((t, tuple(s)) for t, s in specs.items())),
+    )
+    return _cached_engine(key, lambda: MultiRuleEngine(configs, specs))(batch)
+
+
+def rule_engine_batch(
+    batch: pa.Table,
+    config: RuleConfig,
+    columns: "list[ColumnSpec]",
+    lookup_ref=None,
+    passthrough: "tuple[str, ...]" = ("gtid", "seq_in_txn", "op", "key"),
+) -> pa.Table:
+    """Task-pool form of ``RuleEngine`` for the plain (no-UDF) path."""
+    key = (
+        "single",
+        repr(config),
+        repr(columns),
+        lookup_ref.hex() if lookup_ref is not None else None,
+        tuple(passthrough),
+    )
+    return _cached_engine(
+        key,
+        lambda: RuleEngine(
+            config, columns, lookup_ref=lookup_ref, passthrough=list(passthrough)
+        ),
+    )(batch)
