@@ -30,10 +30,15 @@ rule scripts actually use, from the public Lua 5.1 reference manual:
   1-based tables with separate hash part, deterministic iteration
   (array part in order, then hash keys in insertion order);
 * stdlib: ``print type tostring tonumber pairs ipairs error assert
-  require select unpack`` plus ``string`` (len sub upper lower rep
-  format find match gmatch gsub byte char), ``table`` (insert remove
-  concat), ``math`` (floor ceil abs max min huge) — the slices rule
-  scripts use.
+  require select unpack pcall xpcall rawequal`` plus ``string`` (len
+  sub upper lower rep reverse format find match gmatch gsub byte
+  char), ``table`` (insert remove concat sort), ``math`` (floor ceil
+  abs max min sqrt pow fmod modf huge pi, and random/randomseed over a
+  DETERMINISTIC fixed-seed xorshift64* — gopher-lua seeds from the OS,
+  but a replayable pipeline needs script reproducibility), and
+  ``coroutine``.  ``os``/``io`` are deliberately absent: wall-clock and
+  filesystem access would make a deterministic replay irreproducible
+  (the reference's documented rule scripts never use them).
 
 Host modules (redisOps, mongodbOps, esOps, mqOps, json, ...) are
 injected through ``require`` and as pre-set globals, mirroring
@@ -948,6 +953,7 @@ class Interpreter:
         )
         string_mod.set("upper", lambda s: (s.upper(),))
         string_mod.set("lower", lambda s: (s.lower(),))
+        string_mod.set("reverse", lambda s: (s[::-1],))
         string_mod.set("rep", lambda s, n: (s * int(n),))
         string_mod.set("format", lambda spec, *a: (_fmt(spec, list(a)),))
         string_mod.set(
@@ -1008,9 +1014,41 @@ class Interpreter:
             n = t.length() if j is None else int(j)
             return (sep.join(lua_tostring(t.get(float(x))) for x in range(int(i), n + 1)),)
 
+        def t_sort(t, comp=None):
+            """table.sort (5.1 §5.5): in-place array-part sort; an
+            optional comparator returns true when a must come BEFORE b.
+            Python's sort is stable + comparator-based via cmp_to_key."""
+            n = t.length()
+            items = [t.get(float(i)) for i in range(1, n + 1)]
+            if comp is None:
+                import functools
+
+                def c(a, b):
+                    lt = self._order("<", a, b)
+                    if lt:
+                        return -1
+                    return 1 if self._order("<", b, a) else 0
+
+                items.sort(key=functools.cmp_to_key(c))
+            else:
+                import functools
+
+                def c(a, b):
+                    res = self.call(comp, [a, b])
+                    if _truthy(res[0] if res else None):
+                        return -1
+                    res = self.call(comp, [b, a])
+                    return 1 if _truthy(res[0] if res else None) else 0
+
+                items.sort(key=functools.cmp_to_key(c))
+            for i, v in enumerate(items):
+                t.set(float(i + 1), v)
+            return ()
+
         table_mod.set("insert", t_insert)
         table_mod.set("remove", t_remove)
         table_mod.set("concat", t_concat)
+        table_mod.set("sort", t_sort)
 
         math_mod = LuaTable.from_dict({})
         math_mod.set("floor", lambda x: (float(int(lua_tonumber(x) // 1)),))
@@ -1018,8 +1056,55 @@ class Interpreter:
         math_mod.set("abs", lambda x: (abs(lua_tonumber(x)),))
         math_mod.set("max", lambda *a: (max(lua_tonumber(x) for x in a),))
         math_mod.set("min", lambda *a: (min(lua_tonumber(x) for x in a),))
+        math_mod.set("sqrt", lambda x: (lua_tonumber(x) ** 0.5,))
+        math_mod.set("pow", lambda x, y: (lua_tonumber(x) ** lua_tonumber(y),))
+
+        def m_fmod(x, y):
+            # C fmod (truncated), unlike the % operator's floored modulo
+            import math as _m
+
+            return (_m.fmod(lua_tonumber(x), lua_tonumber(y)),)
+
+        def m_modf(x):
+            v = lua_tonumber(x)
+            ip = float(int(v)) if v >= 0 else -float(int(-v))
+            return (ip, v - ip)
+
+        math_mod.set("fmod", m_fmod)
+        math_mod.set("modf", m_modf)
         math_mod.set("huge", None)
         math_mod.hash["huge"] = float("inf")
+        math_mod.hash["pi"] = 3.141592653589793
+
+        # math.random: gopher-lua seeds from the OS; a REPLAYABLE pipeline
+        # needs determinism, so this is Lua 5.1's semantics over a per-
+        # interpreter xorshift64* stream with a fixed default seed —
+        # randomseed() makes script behavior reproducible across runs
+        self._rand_state = 88172645463325252
+
+        def _next_rand() -> float:
+            x = self._rand_state & 0xFFFFFFFFFFFFFFFF
+            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+            x ^= x >> 7
+            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+            self._rand_state = x
+            return ((x * 2685821657736338717) & 0xFFFFFFFFFFFFFFFF) / 2**64
+
+        def m_random(m=None, n=None):
+            r = _next_rand()
+            if m is None:
+                return (r,)
+            if n is None:
+                return (float(1 + int(r * int(lua_tonumber(m)))),)
+            lo, hi = int(lua_tonumber(m)), int(lua_tonumber(n))
+            return (float(lo + int(r * (hi - lo + 1))),)
+
+        def m_randomseed(x=None):
+            self._rand_state = (int(lua_tonumber(x) or 0) or 1) & 0xFFFFFFFFFFFFFFFF
+            return ()
+
+        math_mod.set("random", m_random)
+        math_mod.set("randomseed", m_randomseed)
 
         def lua_pcall(fn=None, *args):
             """pcall (Lua 5.1 §5.1): protected call — (true, results...)

@@ -503,3 +503,50 @@ def test_coroutine_wrap_iterator_idiom():
     assert to_python(it.global_get("acc")) == [1.0, 4.0, 9.0, -1.0]
     assert it.global_get("ok") is False
     assert it.global_get("yields_outside") is False
+
+
+def test_table_sort_string_reverse_math():
+    it = run(
+        """
+        t = {5, 2, 9, 1}
+        table.sort(t)
+        u = {"pear", "apple", "fig"}
+        table.sort(u, function(a, b) return a > b end)
+        rev = string.reverse("abc")
+        sq = math.sqrt(81)
+        fm = math.fmod(-7, 3)
+        ip, fp = math.modf(3.25)
+        pi2 = math.pi * 2
+        math.randomseed(42)
+        r1 = math.random()
+        r2 = math.random(6)
+        r3 = math.random(10, 12)
+        math.randomseed(42)
+        r1b = math.random()
+        """
+    )
+    assert to_python(it.global_get("t")) == [1.0, 2.0, 5.0, 9.0]
+    assert to_python(it.global_get("u")) == ["pear", "fig", "apple"]
+    assert it.global_get("rev") == "cba"
+    assert it.global_get("sq") == 9.0
+    assert it.global_get("fm") == -1.0  # C fmod keeps the dividend's sign
+    assert it.global_get("ip") == 3.0 and abs(it.global_get("fp") - 0.25) < 1e-12
+    assert abs(it.global_get("pi2") - 6.283185307179586) < 1e-12
+    assert 0.0 <= it.global_get("r1") < 1.0
+    assert 1.0 <= it.global_get("r2") <= 6.0
+    assert 10.0 <= it.global_get("r3") <= 12.0
+    # deterministic: same seed, same stream
+    assert it.global_get("r1b") == it.global_get("r1")
+
+
+def test_table_sort_with_metamethod_lt():
+    it = run(
+        """
+        local mt = {__lt = function(a, b) return a.x < b.x end}
+        local function V(x) return setmetatable({x = x}, mt) end
+        t = {V(3), V(1), V(2)}
+        table.sort(t)
+        order = t[1].x .. t[2].x .. t[3].x
+        """
+    )
+    assert it.global_get("order") == "123"
