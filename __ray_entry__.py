@@ -1635,15 +1635,62 @@ def q_media_features(sf_dir: str):
     return multimodal.media_features(ray.data.from_arrow(tab))
 
 
+def q_redis_resp_wire(sf_dir: str):
+    """Exact RESP pipeline bytes for a string-structure Redis rule over
+    the events change stream — the frames the reference's go-redis
+    pipeline transmits per row (service/endpoint/redis.go:228-231:
+    delete → DEL key, else SET key val).  The oracle reassembles every
+    frame byte-for-byte in SQL (bulk-string lengths = strlen bytes)."""
+    from go_mysql_transfer_ray.functions.wire import redis_resp_stream
+    from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan
+
+    plan = RedisPlan(
+        RedisConfig(structure="string", key_prefix="evt:", key_column="user_id"),
+        pk_columns=("user_id",),
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return redis_resp_stream(plan, t, value_col="event_type")
+
+    return _events_as_changes(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def q_es_bulk_wire(sf_dir: str):
+    """ES bulk-API NDJSON body lines for the stock export of the
+    customer rule — action/metadata line + source line exactly as the
+    reference's bulk client serializes index requests
+    (service/endpoint/elastic6.go:293-295)."""
+    from go_mysql_transfer_ray.functions.es_mapping import es6_bulk_ops
+    from go_mysql_transfer_ray.functions.wire import es_bulk_ndjson
+
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="c_custkey,c_name",
+            value_encoder="json",
+            primary_keys=("c_custkey",),
+        ),
+        [ColumnSpec("c_custkey", "number"), ColumnSpec("c_name", "string")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        return es_bulk_ndjson(es6_bulk_ops(plan, t, table_name="customer"))
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver checks the FIRST 50 entries against
     # their oracles each round.  Queries whose code changed most recently
-    # come first; 8 stable queries whose modules have not been touched
+    # come first; 12 stable queries whose code paths have not been touched
     # since their last green CORRECTNESS row are rotated to the tail
     # (value encoders ×4, es_mapping_infer, es6_bulk_ops,
-    # date_format_orders, lookup_join_nation — functions/encoders.py,
-    # functions/es_mapping.py, functions/dateformat.py, functions/db_ops.py
-    # are untouched this round).
+    # date_format_orders, lookup_join_nation, doc_token_counts,
+    # tpch_q1ish, sessionize, asof_last_purchase — functions/encoders.py,
+    # functions/es_mapping.py, functions/dateformat.py, functions/db_ops.py,
+    # functions/text.py are untouched this round and the rest are inline
+    # ray.data+pyarrow pipelines in this file).
     return {
         # --- changed in r3, oracle evidence one round stale — first ----
         "redis_string_state": q_redis_string_state,
@@ -1657,6 +1704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new in r4 ---------------------------------------------------
         "group_topk": q_group_topk,
         "deterministic_shard": q_deterministic_shard,
+        "redis_resp_wire": q_redis_resp_wire,
+        "es_bulk_wire": q_es_bulk_wire,
         # --- flagship + everything whose modules change this round -----
         "cdc_replay_repos": q_cdc_replay_repos,
         "cdc_replay_two_tables": q_cdc_replay_two_tables,
@@ -1670,8 +1719,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "window_daily_stats": q_window_daily_stats,
         "hopping_daily_stats": q_hopping_daily_stats,
-        "sessionize": q_sessionize,
-        "asof_last_purchase": q_asof_last_purchase,
         "chunk_documents": q_chunk_documents,
         "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
@@ -1712,6 +1759,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "es6_bulk_ops": q_es6_bulk_ops,
         "date_format_orders": q_date_format_orders,
         "lookup_join_nation": q_lookup_join_nation,
+        # (sessionize / asof_last_purchase are inline ray.data+pyarrow
+        # pipelines in this file, untouched since their r3 green rows)
+        "sessionize": q_sessionize,
+        "asof_last_purchase": q_asof_last_purchase,
     }
 
 
@@ -2527,6 +2578,46 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY h % 8 ORDER BY h, doc_id
                    ) - 1 AS BIGINT) AS pos
             FROM h
+        """,
+        # RESP wire frames: every byte of the go-redis pipeline command
+        # stream is reassembled in SQL — bulk-string lengths are BYTE
+        # lengths (DuckDB strlen); delete → DEL key, else SET key value
+        # (redis.go:228-231)
+        "redis_resp_wire": """
+            WITH c AS (
+                SELECT event_id AS gtid,
+                       event_type = 'error' AS is_del,
+                       'evt:' || CAST(user_id AS VARCHAR) AS k,
+                       event_type AS v
+                FROM events
+            )
+            SELECT gtid, k AS redis_key,
+                   CASE WHEN is_del THEN 'DEL' ELSE 'SET' END AS cmd,
+                   CASE WHEN is_del THEN
+                       '*2' || chr(13) || chr(10) ||
+                       '$3' || chr(13) || chr(10) || 'DEL' || chr(13) || chr(10) ||
+                       '$' || CAST(strlen(k) AS VARCHAR) || chr(13) || chr(10) ||
+                       k || chr(13) || chr(10)
+                   ELSE
+                       '*3' || chr(13) || chr(10) ||
+                       '$3' || chr(13) || chr(10) || 'SET' || chr(13) || chr(10) ||
+                       '$' || CAST(strlen(k) AS VARCHAR) || chr(13) || chr(10) ||
+                       k || chr(13) || chr(10) ||
+                       '$' || CAST(strlen(v) AS VARCHAR) || chr(13) || chr(10) ||
+                       v || chr(13) || chr(10)
+                   END AS resp
+            FROM c
+        """,
+        # ES bulk NDJSON: action/metadata line + source line per index op
+        # (elastic6.go:293-295); body is the rule's json value encoding
+        "es_bulk_wire": """
+            SELECT CAST(c_custkey AS VARCHAR) AS id,
+                   'insert' AS action,
+                   '{"index":{"_index":"customer","_type":"_doc","_id":"'
+                   || CAST(c_custkey AS VARCHAR) || '"}}' || chr(10) ||
+                   '{"c_custkey":' || CAST(c_custkey AS VARCHAR)
+                   || ',"c_name":"' || c_name || '"}' || chr(10) AS ndjson
+            FROM customer
         """,
         # real-container media decode: the generator's parameters are
         # closed-form in media_id, so every decoded feature (dims, frame

@@ -1,0 +1,216 @@
+"""Wire-format encoders — the exact bytes the reference's network sinks
+put on the socket, reproduced as vectorized Arrow kernels.
+
+The engine's sinks are converged lake/state relations (no services in
+this sandbox), but the byte streams the reference would transmit are a
+pure function of the change rows, so they are computable — and checkable
+— without a network:
+
+* **RESP** (REdis Serialization Protocol v2): the reference builds one
+  go-redis pipeline command per change row
+  (/root/reference/service/endpoint/redis.go:225-267 — ``pipe.Set`` /
+  ``HSet`` / ``Del`` / ``HDel`` / ``LRem``+``RPush`` / ``SRem``+``SAdd``
+  / ``ZRem``+``ZAdd``); go-redis marshals every command as a RESP array
+  of bulk strings (``*N\\r\\n`` then ``$len\\r\\narg\\r\\n`` per arg,
+  lengths in BYTES).  ``redis_resp_stream`` emits those exact frames.
+  Reference quirk kept: the update path of set/sortedset passes a stray
+  ``0`` member to the remove (redis.go:252,261 — a copy of the LRem
+  count argument), so ``SREM key 0 old`` / ``ZREM key 0 old`` go on the
+  wire verbatim.
+
+* **ES bulk NDJSON**: the reference maps insert/update/delete to
+  olivere BulkIndex/BulkUpdate/BulkDelete requests
+  (/root/reference/service/endpoint/elastic6.go:293-300); the bulk body
+  serializes as an action/metadata line plus, for index/update, a
+  source line (``{"index":{"_index":i,"_type":t,"_id":id}}\\n{doc}\\n``;
+  update wraps the doc as ``{"doc":{...}}``; delete is the action line
+  only).  ES7 omits ``_type`` (elastic7.go sends typeless bulk ops).
+
+Everything is ``pyarrow.compute`` string assembly — no Python row loops,
+so the stage streams at Arrow speed and the frames are byte-exact
+(multi-byte UTF-8 args frame with their UTF-8 byte length via
+``pc.binary_length``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+CRLF = "\r\n"
+
+_ArrOrStr = "pa.Array | pa.ChunkedArray | str"
+
+
+def _bulk(piece: "pa.Array | pa.ChunkedArray") -> list:
+    """RESP bulk-string frame pieces for one argument array."""
+    ln = pc.cast(pc.binary_length(piece), pa.string())
+    return ["$", ln, CRLF, piece, CRLF]
+
+
+def resp_command(*args: _ArrOrStr) -> "pa.Array | pa.ChunkedArray":
+    """RESP-encode one command per row: ``*N`` then each arg as a bulk
+    string.  ``args`` mixes constant ``str`` (command names, literal
+    counts) with string arrays; at least one argument must be an array.
+    Constant args are framed once at compile time."""
+    pieces: list = [f"*{len(args)}{CRLF}"]
+    n_arrays = 0
+    for a in args:
+        if isinstance(a, str):
+            raw = a.encode("utf-8")
+            pieces.append(f"${len(raw)}{CRLF}{a}{CRLF}")
+        else:
+            n_arrays += 1
+            pieces.extend(_bulk(a))
+    if not n_arrays:
+        raise ValueError("resp_command needs at least one array argument")
+    return pc.binary_join_element_wise(*pieces, "")
+
+
+def _concat(*parts) -> "pa.Array | pa.ChunkedArray":
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def redis_resp_stream(
+    plan,
+    batch: pa.Table,
+    *,
+    value_col: str,
+    old_value_col: "str | None" = None,
+    gtid_col: str = "gtid",
+    op_col: str = "op",
+) -> pa.Table:
+    """Exact RESP pipeline bytes per change row for one Redis rule.
+
+    Command selection follows redis.go:225-267 by ``plan.cfg.structure``
+    and the row's op; rows whose op maps to two pipeline commands
+    (list/set/sortedset updates) emit both frames concatenated, exactly
+    the bytes that row appends to the reference's pipeline buffer.
+    Returns (gtid, redis_key, cmd, resp).
+    """
+    cfg = plan.cfg
+    key = plan.keys(batch)
+    val = plan._stringify(batch.column(value_col))
+    op = batch.column(op_col)
+    is_del = pc.equal(op, "delete")
+    is_upd = pc.equal(op, "update")
+    old = (
+        plan._stringify(batch.column(old_value_col))
+        if old_value_col is not None and old_value_col in batch.column_names
+        else None
+    )
+
+    if cfg.structure == "string":
+        # redis.go:228-231: delete → DEL key, else SET key val
+        resp = pc.if_else(is_del, resp_command("DEL", key), resp_command("SET", key, val))
+        cmd = pc.if_else(is_del, pa.scalar("DEL"), pa.scalar("SET"))
+    elif cfg.structure == "hash":
+        # redis.go:234-237: delete → HDEL key field, else HSET key field val
+        field = plan.fields(batch)
+        resp = pc.if_else(
+            is_del,
+            resp_command("HDEL", key, field),
+            resp_command("HSET", key, field, val),
+        )
+        cmd = pc.if_else(is_del, pa.scalar("HDEL"), pa.scalar("HSET"))
+    elif cfg.structure == "list":
+        # redis.go:240-246: delete → LREM key 0 val; update → LREM key 0
+        # old + RPUSH key val; insert → RPUSH key val
+        push = resp_command("RPUSH", key, val)
+        rem_val = resp_command("LREM", key, "0", val)
+        if old is not None:
+            rem_old = resp_command("LREM", key, "0", old)
+            upd = _concat(rem_old, push)
+        else:
+            upd = push
+        resp = pc.if_else(is_del, rem_val, pc.if_else(is_upd, upd, push))
+        cmd = pc.if_else(
+            is_del,
+            pa.scalar("LREM"),
+            pc.if_else(is_upd, pa.scalar("LREM+RPUSH"), pa.scalar("RPUSH")),
+        )
+    elif cfg.structure == "set":
+        # redis.go:248-255: delete → SREM key val; update → SREM key 0
+        # old (stray 0 member kept, redis.go:252) + SADD; insert → SADD
+        add = resp_command("SADD", key, val)
+        rem_val = resp_command("SREM", key, val)
+        if old is not None:
+            upd = _concat(resp_command("SREM", key, "0", old), add)
+        else:
+            upd = add
+        resp = pc.if_else(is_del, rem_val, pc.if_else(is_upd, upd, add))
+        cmd = pc.if_else(
+            is_del,
+            pa.scalar("SREM"),
+            pc.if_else(is_upd, pa.scalar("SREM+SADD"), pa.scalar("SADD")),
+        )
+    elif cfg.structure == "sortedset":
+        # redis.go:257-266: delete → ZREM key val; update → ZREM key 0
+        # old (stray 0, redis.go:261) + ZADD key score val; insert → ZADD
+        from .encoders import to_string_go
+
+        score_f = plan.scores(batch)
+        score = pa.array(
+            [
+                to_string_go(None if v is None else float(v))
+                for v in score_f.to_pylist()
+            ],
+            pa.string(),
+        )
+        add = resp_command("ZADD", key, score, val)
+        rem_val = resp_command("ZREM", key, val)
+        if old is not None:
+            upd = _concat(resp_command("ZREM", key, "0", old), add)
+        else:
+            upd = add
+        resp = pc.if_else(is_del, rem_val, pc.if_else(is_upd, upd, add))
+        cmd = pc.if_else(
+            is_del,
+            pa.scalar("ZREM"),
+            pc.if_else(is_upd, pa.scalar("ZREM+ZADD"), pa.scalar("ZADD")),
+        )
+    else:  # pragma: no cover - RedisPlan validates structure
+        raise ValueError(f"unknown structure {cfg.structure!r}")
+
+    return pa.table(
+        {
+            "gtid": batch.column(gtid_col),
+            "redis_key": key,
+            "cmd": cmd,
+            "resp": resp,
+        }
+    )
+
+
+def es_bulk_ndjson(ops: pa.Table, *, include_type: bool = True) -> pa.Table:
+    """Bulk-API NDJSON body lines from bulk-op rows (es_index, es_type,
+    id, action, body) as produced by ``es_mapping.es6_bulk_ops``.
+
+    Framing per elastic6.go:293-300: insert → ``{"index":meta}\\n{doc}\\n``,
+    update → ``{"update":meta}\\n{"doc":{doc}}\\n``, delete →
+    ``{"delete":meta}\\n``.  ``include_type=False`` gives the ES7
+    typeless action line (elastic7.go bulk path).  Returns (id, action,
+    ndjson)."""
+    idx = ops.column("es_index")
+    typ = ops.column("es_type")
+    _id = ops.column("id")
+    action = ops.column("action")
+    body = ops.column("body")
+
+    if include_type:
+        meta = _concat(
+            '{"_index":"', idx, '","_type":"', typ, '","_id":"', _id, '"}'
+        )
+    else:
+        meta = _concat('{"_index":"', idx, '","_id":"', _id, '"}')
+
+    index_lines = _concat('{"index":', meta, "}\n", body, "\n")
+    update_lines = _concat('{"update":', meta, '}\n{"doc":', body, "}\n")
+    delete_line = _concat('{"delete":', meta, "}\n")
+
+    ndjson = pc.if_else(
+        pc.equal(action, "delete"),
+        delete_line,
+        pc.if_else(pc.equal(action, "update"), update_lines, index_lines),
+    )
+    return pa.table({"id": _id, "action": action, "ndjson": ndjson})

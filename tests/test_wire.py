@@ -1,0 +1,172 @@
+"""Wire-format encoders: RESP frames and ES bulk NDJSON bodies are
+byte-exact reproductions of what the reference's clients transmit
+(/root/reference/service/endpoint/redis.go:225-267,
+elastic6.go:293-300)."""
+
+import pyarrow as pa
+import pytest
+
+from go_mysql_transfer_ray.functions.wire import (
+    es_bulk_ndjson,
+    redis_resp_stream,
+    resp_command,
+)
+from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan
+
+
+def parse_resp(buf: str) -> list[list[str]]:
+    """Minimal RESP v2 array-of-bulk-strings parser (byte-accurate)."""
+    data = buf.encode("utf-8")
+    cmds, i = [], 0
+    while i < len(data):
+        assert data[i : i + 1] == b"*"
+        j = data.index(b"\r\n", i)
+        n = int(data[i + 1 : j])
+        i = j + 2
+        args = []
+        for _ in range(n):
+            assert data[i : i + 1] == b"$"
+            j = data.index(b"\r\n", i)
+            ln = int(data[i + 1 : j])
+            i = j + 2
+            args.append(data[i : i + ln].decode("utf-8"))
+            assert data[i + ln : i + ln + 2] == b"\r\n"
+            i = i + ln + 2
+        cmds.append(args)
+    return cmds
+
+
+def test_resp_command_exact_frame():
+    out = resp_command("SET", pa.array(["k1"]), pa.array(["v1"]))
+    assert out.to_pylist() == ["*3\r\n$3\r\nSET\r\n$2\r\nk1\r\n$2\r\nv1\r\n"]
+
+
+def test_resp_command_utf8_byte_lengths():
+    # bulk-string lengths are BYTES, not characters (RESP contract)
+    out = resp_command("SET", pa.array(["ключ"]), pa.array(["значение"]))
+    (frame,) = out.to_pylist()
+    assert "$8\r\nключ" in frame  # 4 cyrillic chars = 8 bytes
+    assert parse_resp(frame) == [["SET", "ключ", "значение"]]
+
+
+def test_resp_command_requires_an_array():
+    with pytest.raises(ValueError):
+        resp_command("PING")
+
+
+def _changes(rows):
+    cols = {k: [r.get(k) for r in rows] for k in rows[0]}
+    return pa.table(cols)
+
+
+def test_string_structure_set_and_del():
+    plan = RedisPlan(
+        RedisConfig(structure="string", key_prefix="u:", key_column="uid"),
+        pk_columns=("uid",),
+    )
+    batch = _changes(
+        [
+            {"gtid": "g1", "op": "insert", "uid": 7, "v": "a"},
+            {"gtid": "g2", "op": "delete", "uid": 8, "v": "b"},
+        ]
+    )
+    out = redis_resp_stream(plan, batch, value_col="v")
+    assert out.column("cmd").to_pylist() == ["SET", "DEL"]
+    frames = out.column("resp").to_pylist()
+    assert parse_resp(frames[0]) == [["SET", "u:7", "a"]]
+    assert parse_resp(frames[1]) == [["DEL", "u:8"]]
+
+
+def test_hash_structure_hset_hdel():
+    plan = RedisPlan(
+        RedisConfig(structure="hash", key_value="h", hash_field_column="f"),
+        pk_columns=("f",),
+    )
+    batch = _changes(
+        [
+            {"gtid": "g1", "op": "update", "f": "x", "v": "1"},
+            {"gtid": "g2", "op": "delete", "f": "y", "v": "2"},
+        ]
+    )
+    out = redis_resp_stream(plan, batch, value_col="v")
+    frames = out.column("resp").to_pylist()
+    assert parse_resp(frames[0]) == [["HSET", "h", "x", "1"]]
+    assert parse_resp(frames[1]) == [["HDEL", "h", "y"]]
+
+
+def test_list_update_emits_lrem_then_rpush():
+    plan = RedisPlan(
+        RedisConfig(structure="list", key_value="l"), pk_columns=("id",)
+    )
+    batch = _changes(
+        [
+            {"gtid": "g1", "op": "insert", "id": 1, "v": "new", "old": None},
+            {"gtid": "g2", "op": "update", "id": 1, "v": "new", "old": "old"},
+            {"gtid": "g3", "op": "delete", "id": 1, "v": "new", "old": None},
+        ]
+    )
+    out = redis_resp_stream(plan, batch, value_col="v", old_value_col="old")
+    frames = out.column("resp").to_pylist()
+    assert parse_resp(frames[0]) == [["RPUSH", "l", "new"]]
+    # redis.go:243-244: LREM key 0 old, then RPUSH key new
+    assert parse_resp(frames[1]) == [["LREM", "l", "0", "old"], ["RPUSH", "l", "new"]]
+    assert parse_resp(frames[2]) == [["LREM", "l", "0", "new"]]
+
+
+def test_set_update_keeps_reference_stray_zero_member():
+    plan = RedisPlan(
+        RedisConfig(structure="set", key_value="s"), pk_columns=("id",)
+    )
+    batch = _changes(
+        [{"gtid": "g1", "op": "update", "id": 1, "v": "new", "old": "old"}]
+    )
+    out = redis_resp_stream(plan, batch, value_col="v", old_value_col="old")
+    (frame,) = out.column("resp").to_pylist()
+    # redis.go:252 passes the stray 0 member on the update-remove path
+    assert parse_resp(frame) == [["SREM", "s", "0", "old"], ["SADD", "s", "new"]]
+
+
+def test_sortedset_zadd_score_member_order():
+    plan = RedisPlan(
+        RedisConfig(
+            structure="sortedset", key_value="z", sorted_set_score_column="sc"
+        ),
+        pk_columns=("id",),
+    )
+    batch = _changes(
+        [
+            {"gtid": "g1", "op": "insert", "id": 1, "v": "m1", "sc": 1.5},
+            {"gtid": "g2", "op": "delete", "id": 2, "v": "m2", "sc": 3.0},
+        ]
+    )
+    out = redis_resp_stream(plan, batch, value_col="v")
+    frames = out.column("resp").to_pylist()
+    # go-redis ZAdd marshals as ZADD key score member, shortest float form
+    assert parse_resp(frames[0]) == [["ZADD", "z", "1.5", "m1"]]
+    assert parse_resp(frames[1]) == [["ZREM", "z", "m2"]]
+
+
+def _ops(rows):
+    return pa.table({k: [r[k] for r in rows] for k in rows[0]})
+
+
+def test_es_bulk_ndjson_action_framings():
+    ops = _ops(
+        [
+            {"es_index": "t", "es_type": "_doc", "id": "1", "action": "insert", "body": '{"a":1}'},
+            {"es_index": "t", "es_type": "_doc", "id": "2", "action": "update", "body": '{"a":2}'},
+            {"es_index": "t", "es_type": "_doc", "id": "3", "action": "delete", "body": ""},
+        ]
+    )
+    lines = es_bulk_ndjson(ops).column("ndjson").to_pylist()
+    assert lines[0] == '{"index":{"_index":"t","_type":"_doc","_id":"1"}}\n{"a":1}\n'
+    assert lines[1] == '{"update":{"_index":"t","_type":"_doc","_id":"2"}}\n{"doc":{"a":2}}\n'
+    assert lines[2] == '{"delete":{"_index":"t","_type":"_doc","_id":"3"}}\n'
+
+
+def test_es_bulk_ndjson_es7_typeless():
+    ops = _ops(
+        [{"es_index": "t", "es_type": "_doc", "id": "1", "action": "insert", "body": "{}"}]
+    )
+    (line,) = es_bulk_ndjson(ops, include_type=False).column("ndjson").to_pylist()
+    assert line == '{"index":{"_index":"t","_id":"1"}}\n{}\n'
