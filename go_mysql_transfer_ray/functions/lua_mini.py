@@ -639,6 +639,13 @@ class _Break(Exception):
     pass
 
 
+class _CoroutineKill(BaseException):
+    """Raised inside an abandoned coroutine's thread to unwind it.
+
+    BaseException on purpose: a killed coroutine must unwind even
+    through a script's own pcall (which catches Exception)."""
+
+
 class _Return(Exception):
     def __init__(self, values):
         self.values = values
@@ -718,6 +725,7 @@ class LuaCoroutine:
         self._resume_evt = threading.Event()
         self._yield_evt = threading.Event()
         self._threading = threading
+        self._killed = False
 
     def resume(self, *args):
         if self.status == "dead":
@@ -751,6 +759,11 @@ class LuaCoroutine:
     def _main(self):
         try:
             self._xfer = tuple(self.interp.call(self.fn, list(self._xfer)))
+        except _CoroutineKill:
+            # abandoned-coroutine reap: exit silently, nobody is waiting
+            self.status = "dead"
+            self._done = True
+            return
         except LuaError as e:
             self._error = e
         except Exception as e:  # host error surfaces as a Lua error value
@@ -763,7 +776,19 @@ class LuaCoroutine:
         self._yield_evt.set()
         self._resume_evt.wait()
         self._resume_evt.clear()
+        if self._killed:
+            raise _CoroutineKill()
         return tuple(self._xfer)
+
+    def kill(self):
+        """Unwind a suspended coroutine's thread (abandoned at the end
+        of a script run — without this, every suspended-and-dropped
+        coroutine leaks a thread blocked in ``_resume_evt.wait``)."""
+        if self.status == "suspended" and self._thread is not None:
+            self._killed = True
+            self.status = "dead"
+            self._resume_evt.set()
+            self._thread.join(timeout=5)
 
 
 def _mt_handler(v, name):
@@ -828,6 +853,7 @@ class Interpreter:
         self.ast = parse(src)
         self.modules = dict(modules or {})
         self.current_coroutine = None
+        self._live_coroutines: list = []
         self.root = _Env()
         self._install_stdlib()
         for k, v in (globals_ or {}).items():
@@ -841,6 +867,16 @@ class Interpreter:
             self.exec_block(self.ast[1], _Env(self.root))
         except _Return:
             pass
+        finally:
+            # reap coroutines left suspended by this run: each holds a
+            # blocked daemon thread; per-row execution (lua_shim
+            # LuaScriptRunner) would otherwise leak one OS thread per
+            # abandoned coroutine.  A reaped coroutine becomes 'dead' —
+            # a later resume gets (false, "cannot resume dead
+            # coroutine"), plain Lua semantics.
+            for co in self._live_coroutines:
+                co.kill()
+            self._live_coroutines.clear()
         return self
 
     def global_get(self, name):
@@ -1067,6 +1103,9 @@ class Interpreter:
 
         def m_modf(x):
             v = lua_tonumber(x)
+            if v != v or v in (float("inf"), float("-inf")):
+                # C modf: modf(±inf) = (±inf, ±0), modf(nan) = (nan, nan)
+                return (v, 0.0 if v == v else v)
             ip = float(int(v)) if v >= 0 else -float(int(-v))
             return (ip, v - ip)
 
@@ -1114,12 +1153,25 @@ class Interpreter:
                 return (True,) + tuple(self.call(fn, list(args)))
             except LuaError as e:
                 return (False, e.lua_value)
+            except (_Break, _Return):
+                raise  # interpreter control flow, not an error
+            except Exception as e:
+                # host-level errors (bad stdlib args etc.) are ordinary
+                # Lua errors to the script, exactly as in the coroutine
+                # body path (_main) — a protected call must never crash
+                # the interpreter run
+                return (False, str(e))
 
         def lua_xpcall(fn=None, handler=None):
             try:
                 return (True,) + tuple(self.call(fn, []))
             except LuaError as e:
                 res = self.call(handler, [e.lua_value])
+                return (False,) + tuple(res)
+            except (_Break, _Return):
+                raise
+            except Exception as e:
+                res = self.call(handler, [str(e)])
                 return (False,) + tuple(res)
 
         def lua_rawequal(a=None, b=None):
@@ -1188,7 +1240,9 @@ class Interpreter:
         def co_create(fn=None):
             if not (isinstance(fn, LuaFunction) or callable(fn)):
                 raise LuaError("bad argument #1 to 'create' (function expected)")
-            return (LuaCoroutine(fn, self),)
+            co = LuaCoroutine(fn, self)
+            self._live_coroutines.append(co)
+            return (co,)
 
         def co_resume(co=None, *args):
             if not isinstance(co, LuaCoroutine):

@@ -89,13 +89,16 @@ def redis_resp_stream(
     Returns (gtid, redis_key, cmd, resp).
     """
     cfg = plan.cfg
-    key = plan.keys(batch)
-    val = plan._stringify(batch.column(value_col))
+    # nil values go on the wire as empty bulk strings ($0), matching the
+    # reference's stringutil.ToString(nil) → "" — a null must never null
+    # out the whole frame (binary_join_element_wise emits null through)
+    key = pc.fill_null(plan.keys(batch), "")
+    val = pc.fill_null(plan._stringify(batch.column(value_col)), "")
     op = batch.column(op_col)
     is_del = pc.equal(op, "delete")
     is_upd = pc.equal(op, "update")
     old = (
-        plan._stringify(batch.column(old_value_col))
+        pc.fill_null(plan._stringify(batch.column(old_value_col)), "")
         if old_value_col is not None and old_value_col in batch.column_names
         else None
     )
@@ -147,16 +150,10 @@ def redis_resp_stream(
     elif cfg.structure == "sortedset":
         # redis.go:257-266: delete → ZREM key val; update → ZREM key 0
         # old (stray 0, redis.go:261) + ZADD key score val; insert → ZADD
-        from .encoders import to_string_go
-
-        score_f = plan.scores(batch)
-        score = pa.array(
-            [
-                to_string_go(None if v is None else float(v))
-                for v in score_f.to_pylist()
-            ],
-            pa.string(),
-        )
+        # same Go shortest-float formatting (NaN/null → "") as the
+        # converged-state path, so both Redis surfaces encode one score
+        # identically (stages/redis_state.py _stringify float branch)
+        score = pc.fill_null(plan._stringify(plan.scores(batch)), "")
         add = resp_command("ZADD", key, score, val)
         rem_val = resp_command("ZREM", key, val)
         if old is not None:
@@ -191,9 +188,24 @@ def es_bulk_ndjson(ops: pa.Table, *, include_type: bool = True) -> pa.Table:
     ``{"delete":meta}\\n``.  ``include_type=False`` gives the ES7
     typeless action line (elastic7.go bulk path).  Returns (id, action,
     ndjson)."""
-    idx = ops.column("es_index")
-    typ = ops.column("es_type")
-    _id = ops.column("id")
+    def esc(col):
+        # metadata values are embedded in a JSON string literal: escape
+        # exactly as Go's json.Marshal does (backslash, quote, and the
+        # HTML trio — encoders._escape_html_like_go parity)
+        for lit, rep in (
+            ("\\", "\\\\"),
+            ('"', '\\"'),
+            ("<", "\\u003c"),
+            (">", "\\u003e"),
+            ("&", "\\u0026"),
+        ):
+            col = pc.replace_substring(col, pattern=lit, replacement=rep)
+        return col
+
+    raw_id = ops.column("id")
+    idx = esc(ops.column("es_index"))
+    typ = esc(ops.column("es_type"))
+    _id = esc(raw_id)
     action = ops.column("action")
     body = ops.column("body")
 
@@ -213,4 +225,4 @@ def es_bulk_ndjson(ops: pa.Table, *, include_type: bool = True) -> pa.Table:
         delete_line,
         pc.if_else(pc.equal(action, "update"), update_lines, index_lines),
     )
-    return pa.table({"id": _id, "action": action, "ndjson": ndjson})
+    return pa.table({"id": raw_id, "action": action, "ndjson": ndjson})

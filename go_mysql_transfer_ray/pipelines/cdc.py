@@ -382,12 +382,21 @@ def replay(
         if udf is None:
             # plain compiled-plan projection: task pool with a per-process
             # plan cache — every CPU participates and no actor spawn is
-            # paid per invocation (stages.rule_engine.rule_engine_batch)
+            # paid per invocation (stages.rule_engine.rule_engine_batch).
+            # An int rule_concurrency still caps concurrent tasks (the
+            # caller's knob to leave CPUs for co-running stages); the
+            # (min,max) tuple form is an actor-pool spec and applies only
+            # to the UDF path below.
             ds = ds.map_batches(
                 rule_engine_batch,
                 fn_args=(rule_config, _stream_specs(ddl_events), lookup_ref),
                 batch_format="pyarrow",
                 batch_size=batch_size,
+                **(
+                    {"concurrency": rule_concurrency}
+                    if isinstance(rule_concurrency, int)
+                    else {}
+                ),
             )
         else:
             # UDF closures are real per-actor state: keep the actor pool,
@@ -571,7 +580,8 @@ def replay_multi(
 
     The stream is read ONCE: a ``MultiDecoder`` routes each event to its
     table's decode (arity guard / key / DDL coercion), an optional
-    ``MultiRuleEngine`` actor pool applies each table's compiled rule,
+    task-pool rule stage (per-process ``MultiRuleEngine`` plan cache,
+    int ``rule_concurrency`` caps its tasks) applies each table's rule,
     and every table rides the SAME combiner + storage-shuffle exchange —
     the merge key embeds table identity, so co-location is per
     (table, key) with one all-to-all.  Stage B splits each partition by
@@ -676,12 +686,19 @@ def replay_multi(
     )
     if any(rules.get(t) is not None for t in tables):
         # task pool with per-process compiled-plan cache (no UDFs on the
-        # multi path): all CPUs participate, no per-invocation actor spawn
+        # multi path): all CPUs participate, no per-invocation actor
+        # spawn.  An int rule_concurrency caps concurrent tasks; the
+        # (min,max) tuple default means unbounded here (actor-pool spec).
         ds = ds.map_batches(
             multi_rule_engine_batch,
             fn_args=({t: rules.get(t) for t in tables}, rule_specs),
             batch_format="pyarrow",
             batch_size=batch_size,
+            **(
+                {"concurrency": rule_concurrency}
+                if isinstance(rule_concurrency, int)
+                else {}
+            ),
         )
     else:
         union_cols: list[str] = []

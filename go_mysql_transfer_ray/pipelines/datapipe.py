@@ -832,7 +832,9 @@ _QN_CACHE: dict = {}
 
 
 def _normalized_queries(queries_ref) -> np.ndarray:
-    key = queries_ref.hex() if hasattr(queries_ref, "hex") else id(queries_ref)
+    # the key must be the ref's stable identity — an id()-based fallback
+    # could collide after GC and serve a stale matrix
+    key = queries_ref.hex()
     qn = _QN_CACHE.get(key)
     if qn is None:
         q = np.asarray(ray.get(queries_ref), dtype=np.float32)

@@ -550,3 +550,62 @@ def test_table_sort_with_metamethod_lt():
         """
     )
     assert it.global_get("order") == "123"
+
+
+def test_pcall_catches_host_exceptions():
+    # a stdlib misuse inside pcall must surface as (false, msg), never
+    # crash the interpreter run (parity with the coroutine body path)
+    i = Interpreter(
+        "ok, err = pcall(string.rep, 'x')\n"
+        "ok2, msg = xpcall(function() return string.rep('x') end,\n"
+        "                  function(e) return 'H:' .. e end)"
+    ).run()
+    assert i.global_get("ok") is False
+    assert isinstance(i.global_get("err"), str)
+    assert i.global_get("ok2") is False
+    assert i.global_get("msg").startswith("H:")
+
+
+def test_math_modf_inf_nan():
+    i = Interpreter(
+        "a, b = math.modf(math.huge)\n"
+        "c, d = math.modf(0/0)\n"
+        "e, f = math.modf(-3.75)"
+    ).run()
+    assert i.global_get("a") == float("inf") and i.global_get("b") == 0.0
+    assert i.global_get("c") != i.global_get("c")  # nan
+    assert i.global_get("e") == -3.0 and i.global_get("f") == -0.75
+
+
+def test_abandoned_coroutines_do_not_leak_threads():
+    import threading
+
+    src = (
+        "local gen = coroutine.wrap(function()\n"
+        "  for i = 1, 100 do coroutine.yield(i) end\n"
+        "end)\n"
+        "first = gen()"
+    )
+    interp = Interpreter(src)
+    base = threading.active_count()
+    for _ in range(25):
+        interp.run()
+    # suspended coroutines are reaped at the end of each run
+    assert threading.active_count() - base <= 1
+    assert interp.global_get("first") == 1.0
+
+
+def test_reaped_coroutine_resumes_as_dead_across_runs():
+    src = (
+        "if g == nil then\n"
+        "  g = coroutine.create(function() coroutine.yield(1); return 2 end)\n"
+        "  ok1 = coroutine.resume(g)\n"
+        "else\n"
+        "  ok2, err2 = coroutine.resume(g)\n"
+        "end"
+    )
+    i = Interpreter(src)
+    i.run()
+    i.run()
+    assert i.global_get("ok2") is False
+    assert i.global_get("err2") == "cannot resume dead coroutine"

@@ -232,3 +232,14 @@ def test_udf_dbops_lookup_join(tmp_path):
     assert out.column("lang_name").to_pylist() == ["Golang", "?"]
     # predicate select
     assert len(eng.ctx.db.select("langs", lambda r: r["year"] > 2010)) == 1
+
+
+def test_rule_concurrency_int_caps_task_pool(tmp_path):
+    # an int rule_concurrency must still be honored on the no-UDF
+    # task-pool path (caps concurrent tasks) — same converged output
+    rule = RuleConfig(include_columns="repo,path,content")
+    engine, _ = run(tmp_path, rule_config=rule, rule_concurrency=2)
+    assert engine.column_names == ["repo", "path", "content"]
+
+    ora = oracle.replay_full(generate(CFG).table)
+    assert engine.num_rows == len(ora)

@@ -170,3 +170,47 @@ def test_es_bulk_ndjson_es7_typeless():
     )
     (line,) = es_bulk_ndjson(ops, include_type=False).column("ndjson").to_pylist()
     assert line == '{"index":{"_index":"t","_id":"1"}}\n{}\n'
+
+
+def test_null_value_frames_as_empty_bulk_string():
+    # stringutil.ToString(nil) → "" in the reference: a null value must
+    # produce a $0 bulk string, not null out the whole frame
+    plan = RedisPlan(
+        RedisConfig(structure="string", key_column="uid"), pk_columns=("uid",)
+    )
+    batch = pa.table(
+        {
+            "gtid": ["g1"],
+            "op": ["insert"],
+            "uid": [5],
+            "v": pa.array([None], pa.string()),
+        }
+    )
+    (frame,) = redis_resp_stream(plan, batch, value_col="v").column("resp").to_pylist()
+    assert frame is not None
+    assert parse_resp(frame) == [["SET", "5", ""]]
+
+
+def test_es_bulk_ndjson_escapes_metadata():
+    # ids come from arbitrary PK stringification: quotes/backslashes must
+    # be JSON-escaped in the action line (Go json.Marshal parity)
+    ops = _ops(
+        [
+            {
+                "es_index": "t",
+                "es_type": "_doc",
+                "id": 'a"b\\c',
+                "action": "insert",
+                "body": "{}",
+            }
+        ]
+    )
+    out = es_bulk_ndjson(ops)
+    (line,) = out.column("ndjson").to_pylist()
+    assert '"_id":"a\\"b\\\\c"' in line
+    # the id COLUMN stays raw (only the embedded JSON literal escapes)
+    assert out.column("id").to_pylist() == ['a"b\\c']
+    import json
+
+    action_line = line.split("\n")[0]
+    assert json.loads(action_line)["index"]["_id"] == 'a"b\\c'
