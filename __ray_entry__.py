@@ -1680,6 +1680,43 @@ def q_es_bulk_wire(sf_dir: str):
     ).map_batches(fn, batch_format="pyarrow")
 
 
+def q_mongo_bulk_wire(sf_dir: str):
+    """Extended-JSON bulkWrite models for a Mongo rule over the events
+    change stream — insert documents / $set updates / delete filters
+    exactly as the reference builds its WriteModels
+    (service/endpoint/mongo.go:167-178), with _id injected first."""
+    from go_mysql_transfer_ray.functions.wire import mongo_bulk_models
+
+    plan = RulePlan(
+        RuleConfig(
+            include_columns="user_id,event_type",
+            value_encoder="json",
+            primary_keys=("user_id",),
+        ),
+        [ColumnSpec("user_id", "number"), ColumnSpec("event_type", "string")],
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        ops = pa.table(
+            {
+                "id": plan.build_key(t),
+                "action": t.column("op"),
+                "body": plan.encode_values(plan.apply(t)),
+            }
+        )
+        out = mongo_bulk_models(ops)
+        return pa.table(
+            {
+                "gtid": t.column("gtid"),
+                "id": out.column("id"),
+                "action": out.column("action"),
+                "model": out.column("model"),
+            }
+        )
+
+    return _events_as_changes(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver checks the FIRST 50 entries against
     # their oracles each round.  Queries whose code changed most recently
@@ -1706,6 +1743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "deterministic_shard": q_deterministic_shard,
         "redis_resp_wire": q_redis_resp_wire,
         "es_bulk_wire": q_es_bulk_wire,
+        "mongo_bulk_wire": q_mongo_bulk_wire,
         # --- flagship + everything whose modules change this round -----
         "cdc_replay_repos": q_cdc_replay_repos,
         "cdc_replay_two_tables": q_cdc_replay_two_tables,
@@ -1725,7 +1763,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "pack_sequences": q_pack_sequences,
         "group_lang_stats": q_group_lang_stats,
-        "redact_text": q_redact_text,
         "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "vocab_topk": q_vocab_topk,
@@ -1760,9 +1797,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_format_orders": q_date_format_orders,
         "lookup_join_nation": q_lookup_join_nation,
         # (sessionize / asof_last_purchase are inline ray.data+pyarrow
-        # pipelines in this file, untouched since their r3 green rows)
+        # pipelines in this file, redact_text is datapipe.redact_text —
+        # all untouched since their r3 green rows)
         "sessionize": q_sessionize,
         "asof_last_purchase": q_asof_last_purchase,
+        "redact_text": q_redact_text,
     }
 
 
@@ -2618,6 +2657,26 @@ def oracle_sql() -> dict[str, str]:
                    '{"c_custkey":' || CAST(c_custkey AS VARCHAR)
                    || ',"c_name":"' || c_name || '"}' || chr(10) AS ndjson
             FROM customer
+        """,
+        # Mongo bulkWrite models: insert documents carry the injected
+        # _id first, $set updates/deletes filter on {_id}
+        # (mongo.go:167-178); delete rows ('error' events) emit only
+        # the filter
+        "mongo_bulk_wire": """
+            SELECT event_id AS gtid,
+                   CAST(user_id AS VARCHAR) AS id,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'insert' END AS action,
+                   CASE WHEN event_type = 'error' THEN
+                       '{"deleteOne":{"filter":{"_id":'
+                       || CAST(user_id AS VARCHAR) || '}}}'
+                   ELSE
+                       '{"insertOne":{"document":{"_id":'
+                       || CAST(user_id AS VARCHAR)
+                       || ',"event_type":"' || event_type
+                       || '","user_id":' || CAST(user_id AS VARCHAR) || '}}}'
+                   END AS model
+            FROM events
         """,
         # real-container media decode: the generator's parameters are
         # closed-form in media_id, so every decoded feature (dims, frame

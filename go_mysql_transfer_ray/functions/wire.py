@@ -179,6 +179,21 @@ def redis_resp_stream(
     )
 
 
+def _json_escape(col):
+    """Escape a value for embedding inside a JSON string literal exactly
+    as Go's json.Marshal does (backslash, quote, and the HTML trio —
+    encoders._escape_html_like_go parity)."""
+    for lit, rep in (
+        ("\\", "\\\\"),
+        ('"', '\\"'),
+        ("<", "\\u003c"),
+        (">", "\\u003e"),
+        ("&", "\\u0026"),
+    ):
+        col = pc.replace_substring(col, pattern=lit, replacement=rep)
+    return col
+
+
 def es_bulk_ndjson(ops: pa.Table, *, include_type: bool = True) -> pa.Table:
     """Bulk-API NDJSON body lines from bulk-op rows (es_index, es_type,
     id, action, body) as produced by ``es_mapping.es6_bulk_ops``.
@@ -188,24 +203,10 @@ def es_bulk_ndjson(ops: pa.Table, *, include_type: bool = True) -> pa.Table:
     ``{"delete":meta}\\n``.  ``include_type=False`` gives the ES7
     typeless action line (elastic7.go bulk path).  Returns (id, action,
     ndjson)."""
-    def esc(col):
-        # metadata values are embedded in a JSON string literal: escape
-        # exactly as Go's json.Marshal does (backslash, quote, and the
-        # HTML trio — encoders._escape_html_like_go parity)
-        for lit, rep in (
-            ("\\", "\\\\"),
-            ('"', '\\"'),
-            ("<", "\\u003c"),
-            (">", "\\u003e"),
-            ("&", "\\u0026"),
-        ):
-            col = pc.replace_substring(col, pattern=lit, replacement=rep)
-        return col
-
     raw_id = ops.column("id")
-    idx = esc(ops.column("es_index"))
-    typ = esc(ops.column("es_type"))
-    _id = esc(raw_id)
+    idx = _json_escape(ops.column("es_index"))
+    typ = _json_escape(ops.column("es_type"))
+    _id = _json_escape(raw_id)
     action = ops.column("action")
     body = ops.column("body")
 
@@ -226,3 +227,48 @@ def es_bulk_ndjson(ops: pa.Table, *, include_type: bool = True) -> pa.Table:
         pc.if_else(pc.equal(action, "update"), update_lines, index_lines),
     )
     return pa.table({"id": raw_id, "action": action, "ndjson": ndjson})
+
+
+def mongo_bulk_models(ops: pa.Table, *, id_numeric: bool = True) -> pa.Table:
+    """Extended-JSON bulkWrite models from op rows (id, action, body).
+
+    Shapes per the reference's non-Lua path
+    (/root/reference/service/endpoint/mongo.go:167-178: ``kvm["_id"] =
+    primaryKey``; insert → InsertOneModel(kvm), update →
+    UpdateOneModel(filter {_id}, {"$set": kvm}), delete →
+    DeleteOneModel(filter {_id})) plus the Lua upsert action
+    (mongo.go:150: SetUpsert(true)).  ``body`` is the rule's json value
+    encoding WITHOUT _id; the _id key is injected first, exactly where
+    the reference's map gains it.  ``id_numeric=False`` quotes (and
+    JSON-escapes) string primary keys.  Returns (id, action, model)."""
+    raw_id = ops.column("id")
+    if not pa.types.is_string(raw_id.type):
+        raw_id = pc.cast(raw_id, pa.string())
+    action = ops.column("action")
+    body = ops.column("body")
+    idj = raw_id if id_numeric else _concat('"', _json_escape(raw_id), '"')
+
+    # '{"a":1}' → '"a":1}' so the _id pair can be injected up front;
+    # an empty body '{}' leaves just the closing brace (no comma)
+    rest = pc.utf8_slice_codeunits(body, 1, 2**31 - 1)
+    sep = pc.if_else(pc.equal(body, "{}"), pa.scalar(""), pa.scalar(","))
+    doc = _concat('{"_id":', idj, sep, rest)
+
+    filt = _concat('{"_id":', idj, "}")
+    ins = _concat('{"insertOne":{"document":', doc, "}}")
+    upd = _concat('{"updateOne":{"filter":', filt, ',"update":{"$set":', doc, "}}}")
+    ups = _concat(
+        '{"updateOne":{"filter":', filt, ',"update":{"$set":', doc, '},"upsert":true}}'
+    )
+    dele = _concat('{"deleteOne":{"filter":', filt, "}}")
+
+    model = pc.if_else(
+        pc.equal(action, "delete"),
+        dele,
+        pc.if_else(
+            pc.equal(action, "update"),
+            upd,
+            pc.if_else(pc.equal(action, "upsert"), ups, ins),
+        ),
+    )
+    return pa.table({"id": raw_id, "action": action, "model": model})

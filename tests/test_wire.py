@@ -214,3 +214,50 @@ def test_es_bulk_ndjson_escapes_metadata():
 
     action_line = line.split("\n")[0]
     assert json.loads(action_line)["index"]["_id"] == 'a"b\\c'
+
+
+def test_mongo_bulk_models_all_actions():
+    from go_mysql_transfer_ray.functions.wire import mongo_bulk_models
+
+    ops = _ops(
+        [
+            {"id": "5", "action": "insert", "body": '{"a":1}'},
+            {"id": "6", "action": "update", "body": '{"a":2}'},
+            {"id": "7", "action": "upsert", "body": '{"a":3}'},
+            {"id": "8", "action": "delete", "body": "{}"},
+        ]
+    )
+    models = mongo_bulk_models(ops).column("model").to_pylist()
+    # mongo.go:173: insert document carries the injected _id first
+    assert models[0] == '{"insertOne":{"document":{"_id":5,"a":1}}}'
+    # mongo.go:175: $set payload INCLUDES _id (kvm gained it before the model)
+    assert models[1] == (
+        '{"updateOne":{"filter":{"_id":6},"update":{"$set":{"_id":6,"a":2}}}}'
+    )
+    # mongo.go:150 (Lua path): SetUpsert(true)
+    assert models[2] == (
+        '{"updateOne":{"filter":{"_id":7},"update":{"$set":{"_id":7,"a":3}},"upsert":true}}'
+    )
+    assert models[3] == '{"deleteOne":{"filter":{"_id":8}}}'
+    import json
+
+    for m in models:
+        json.loads(m)  # every model is valid JSON
+
+
+def test_mongo_bulk_models_string_id_escaped():
+    from go_mysql_transfer_ray.functions.wire import mongo_bulk_models
+
+    ops = _ops([{"id": 'k"x', "action": "delete", "body": "{}"}])
+    (m,) = mongo_bulk_models(ops, id_numeric=False).column("model").to_pylist()
+    import json
+
+    assert json.loads(m)["deleteOne"]["filter"]["_id"] == 'k"x'
+
+
+def test_mongo_bulk_models_empty_body():
+    from go_mysql_transfer_ray.functions.wire import mongo_bulk_models
+
+    ops = _ops([{"id": "1", "action": "insert", "body": "{}"}])
+    (m,) = mongo_bulk_models(ops).column("model").to_pylist()
+    assert m == '{"insertOne":{"document":{"_id":1}}}'
