@@ -858,39 +858,73 @@ def q_json_props_stats(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         # fast path: ^-anchored RE2 matches $.k as the object's FIRST key
-        # (the generator's shape) — a nested {"a": {"k": ...}} or a
-        # string value containing '"k":' can never be mistaken for the
-        # top-level property.  Rows the anchor misses but that DO contain
-        # a '"k"' token fall back to a real JSON parse (the reference
-        # parses JSON values outright, endpoint.go:136-145), so the
-        # engine's semantics are exactly the oracle's json_extract('$.k')
-        # for ANY valid props value, not just the current generator's.
+        # (the generator's shape), consuming the trailing delimiter so a
+        # non-integer number ('1.5') is captured whole, never truncated
+        # to its integer prefix.  Integer tokens cast exactly; decimal
+        # tokens replicate DuckDB's TRY_CAST-to-BIGINT rounding
+        # (half away from zero — '1.5'→2, '-1.5'→-2).  Rows the anchor
+        # misses but that DO contain a '"k"' token fall back to a real
+        # JSON parse (the reference parses JSON values outright,
+        # endpoint.go:136-145) with the same value semantics as
+        # json_extract_string + TRY_CAST: numbers round half-away,
+        # numeric STRINGS parse (extract_string unquotes them),
+        # booleans/non-numerics → null.
         props = t.column("props")
         if isinstance(props, pa.ChunkedArray):
             props = props.combine_chunks()
-        k = pc.cast(
-            pc.struct_field(
-                pc.extract_regex(props, r'^\{\s*"k"\s*:\s*(?P<k>-?\d+)'),
-                "k",
+        k_str = pc.struct_field(
+            pc.extract_regex(
+                props, r'^\{\s*"k"\s*:\s*(?P<k>-?\d+(?:\.\d+)?)\s*[,}]'
             ),
-            pa.int64(),
+            "k",
+        )
+        is_int = pc.match_substring_regex(k_str, r"^-?\d+$")
+        k = pc.if_else(
+            is_int,
+            pc.cast(pc.if_else(is_int, k_str, pa.scalar(None, pa.string())), pa.int64()),
+            pc.cast(
+                pc.round(
+                    pc.cast(
+                        pc.if_else(is_int, pa.scalar(None, pa.string()), k_str),
+                        pa.float64(),
+                    ),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            ),
         )
         missed = pc.and_kleene(
             pc.is_null(k), pc.match_substring(props, '"k"')
         )
         if pc.any(missed).as_py():
             import json as _json
+            import math as _math
+
+            def _try_cast_bigint(v):
+                # DuckDB TRY_CAST(json_extract_string(..) AS BIGINT)
+                if isinstance(v, str):
+                    try:
+                        v = float(v) if ("." in v or "e" in v or "E" in v) else int(v)
+                    except ValueError:
+                        return None
+                if isinstance(v, bool) or not isinstance(v, (int, float)):
+                    return None
+                if isinstance(v, float):
+                    if v != v or v in (float("inf"), float("-inf")):
+                        return None
+                    return int(_math.floor(v + 0.5)) if v >= 0 else int(_math.ceil(v - 0.5))
+                return int(v)
 
             idx = np.flatnonzero(missed.to_numpy(zero_copy_only=False))
             vals = pc.fill_null(k, 0).to_numpy(zero_copy_only=False).copy()
             ok = pc.is_valid(k).to_numpy(zero_copy_only=False).copy()
             for i in idx:
                 try:
-                    v = _json.loads(props[int(i)].as_py()).get("k")
+                    v = _try_cast_bigint(_json.loads(props[int(i)].as_py()).get("k"))
                 except (ValueError, AttributeError):
                     v = None
-                if isinstance(v, (int, float)) and not isinstance(v, bool):
-                    vals[i] = int(v)
+                if v is not None:
+                    vals[i] = v
                     ok[i] = True
             k = pa.array(vals, pa.int64(), mask=~ok)
         g = (
@@ -1720,14 +1754,15 @@ def q_mongo_bulk_wire(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver checks the FIRST 50 entries against
     # their oracles each round.  Queries whose code changed most recently
-    # come first; 12 stable queries whose code paths have not been touched
+    # come first; 13 stable queries whose code paths have not been touched
     # since their last green CORRECTNESS row are rotated to the tail
     # (value encoders ×4, es_mapping_infer, es6_bulk_ops,
     # date_format_orders, lookup_join_nation, doc_token_counts,
-    # tpch_q1ish, sessionize, asof_last_purchase — functions/encoders.py,
-    # functions/es_mapping.py, functions/dateformat.py, functions/db_ops.py,
-    # functions/text.py are untouched this round and the rest are inline
-    # ray.data+pyarrow pipelines in this file).
+    # tpch_q1ish, doc_quality — functions/encoders.py,
+    # functions/es_mapping.py, functions/dateformat.py,
+    # functions/db_ops.py, functions/text.py are untouched this round —
+    # plus redact_text / stratified_sample, stateless datapipe functions
+    # outside every changed region with no changed-helper calls).
     return {
         # --- changed in r3, oracle evidence one round stale — first ----
         "redis_string_state": q_redis_string_state,
@@ -1757,13 +1792,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "window_daily_stats": q_window_daily_stats,
         "hopping_daily_stats": q_hopping_daily_stats,
+        "sessionize": q_sessionize,
+        "asof_last_purchase": q_asof_last_purchase,
         "chunk_documents": q_chunk_documents,
-        "doc_quality": q_doc_quality,
         "dedup_exact": q_dedup_exact,
         "train_test_split": q_train_test_split,
         "pack_sequences": q_pack_sequences,
         "group_lang_stats": q_group_lang_stats,
-        "stratified_sample": q_stratified_sample,
         "repetition_stats": q_repetition_stats,
         "vocab_topk": q_vocab_topk,
         "decontaminate": q_decontaminate,
@@ -1796,12 +1831,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "es6_bulk_ops": q_es6_bulk_ops,
         "date_format_orders": q_date_format_orders,
         "lookup_join_nation": q_lookup_join_nation,
-        # (sessionize / asof_last_purchase are inline ray.data+pyarrow
-        # pipelines in this file, redact_text is datapipe.redact_text —
-        # all untouched since their r3 green rows)
-        "sessionize": q_sessionize,
-        "asof_last_purchase": q_asof_last_purchase,
+        # (doc_quality is functions/text.py only; redact_text /
+        # stratified_sample are stateless datapipe functions whose
+        # definitions sit outside every changed region this round and
+        # call no changed helper — verified against the round diff)
+        "doc_quality": q_doc_quality,
         "redact_text": q_redact_text,
+        "stratified_sample": q_stratified_sample,
     }
 
 

@@ -309,6 +309,8 @@ class _Parser:
     def __init__(self, tokens):
         self.toks = tokens
         self.i = 0
+        # the main chunk is itself a vararg function (Lua 5.1 §2.5.9)
+        self._vararg_stack = [True]
 
     def peek(self):
         return self.toks[self.i][0]
@@ -484,8 +486,10 @@ class _Parser:
                 if not self.accept(","):
                     break
         self.expect(")")
+        self._vararg_stack.append(is_vararg)
         body = self.block(("end",))
         self.expect("end")
+        self._vararg_stack.pop()
         return ("function", params, body, is_vararg)
 
     # -- expressions ------------------------------------------------------
@@ -543,6 +547,11 @@ class _Parser:
             return self.funcbody(False)
         if k == "...":
             self.next()
+            if not self._vararg_stack[-1]:
+                # Lua 5.1 rejects this at compile time; without the check
+                # the env parent-chain lookup would silently resolve to an
+                # ENCLOSING function's varargs
+                raise LuaError("cannot use '...' outside a vararg function")
             return ("vararg",)
         if k == "{":
             return self.tablector()
@@ -768,6 +777,11 @@ class LuaCoroutine:
             self._error = e
         except Exception as e:  # host error surfaces as a Lua error value
             self._error = LuaError(str(e))
+        except BaseException as e:
+            # even SystemExit/KeyboardInterrupt on this daemon thread
+            # must signal the resumer — dying without setting _yield_evt
+            # would block resume() forever
+            self._error = LuaError(str(e) or type(e).__name__)
         self._done = True
         self._yield_evt.set()
 

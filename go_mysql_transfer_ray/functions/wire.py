@@ -109,7 +109,7 @@ def redis_resp_stream(
         cmd = pc.if_else(is_del, pa.scalar("DEL"), pa.scalar("SET"))
     elif cfg.structure == "hash":
         # redis.go:234-237: delete → HDEL key field, else HSET key field val
-        field = plan.fields(batch)
+        field = pc.fill_null(plan.fields(batch), "")
         resp = pc.if_else(
             is_del,
             resp_command("HDEL", key, field),

@@ -68,7 +68,7 @@ def tumbling_aggregate(
                 {
                     "window_start": w,
                     key_col: t.column(key_col),
-                    "v": pa.array(np.where(valid, v, 0)),
+                    "v": pa.array(v),  # already zeroed at invalid positions
                 }
             )
             .group_by(["window_start", key_col])
@@ -122,7 +122,7 @@ def hopping_aggregate(
             safe >= 0, np.floor(safe * 100 + 0.5), np.ceil(safe * 100 - 0.5)
         ).astype(np.int64)
         key_arr = t.column(key_col)
-        v_arr = pa.array(np.where(valid, cents, 0))
+        v_arr = pa.array(cents)  # already zeroed at invalid positions
         pieces = []
         for k in range(fanout):
             # window starting k hops BEFORE the event's day covers it

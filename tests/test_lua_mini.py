@@ -609,3 +609,24 @@ def test_reaped_coroutine_resumes_as_dead_across_runs():
     i.run()
     assert i.global_get("ok2") is False
     assert i.global_get("err2") == "cannot resume dead coroutine"
+
+
+def test_vararg_outside_vararg_function_is_compile_error():
+    # Lua 5.1: "cannot use '...' outside a vararg function" — without
+    # the check, env-chain lookup would resolve to the ENCLOSING
+    # function's varargs and silently produce wrong data
+    with pytest.raises(LuaError, match="outside a vararg function"):
+        Interpreter(
+            "local function outer(...)\n"
+            "  local function inner() return ... end\n"
+            "  return inner()\n"
+            "end\n"
+            "r = outer(1, 2)"
+        )
+    # top-level '...' is legal (the main chunk is a vararg function)
+    Interpreter("local t = {...}").run()
+    # and '...' inside a vararg function still works
+    i = Interpreter(
+        "local function f(...) return select('#', ...) end\nn = f(7, 8, 9)"
+    ).run()
+    assert i.global_get("n") == 3.0

@@ -261,3 +261,21 @@ def test_mongo_bulk_models_empty_body():
     ops = _ops([{"id": "1", "action": "insert", "body": "{}"}])
     (m,) = mongo_bulk_models(ops).column("model").to_pylist()
     assert m == '{"insertOne":{"document":{"_id":1}}}'
+
+
+def test_hash_null_field_frames_as_empty_bulk_string():
+    plan = RedisPlan(
+        RedisConfig(structure="hash", key_value="h", hash_field_column="f"),
+        pk_columns=("f",),
+    )
+    batch = pa.table(
+        {
+            "gtid": ["g1"],
+            "op": ["insert"],
+            "f": pa.array([None], pa.string()),
+            "v": ["1"],
+        }
+    )
+    (frame,) = redis_resp_stream(plan, batch, value_col="v").column("resp").to_pylist()
+    assert frame is not None
+    assert parse_resp(frame) == [["HSET", "h", "", "1"]]
