@@ -899,6 +899,10 @@ class Interpreter:
     def global_set(self, name, value):
         self.root.declare(name, value)
 
+    def set_os_epoch(self, epoch: float):
+        """Pin the value os.time() returns (deterministic replay clock)."""
+        self._os_epoch = float(epoch)
+
     # -- stdlib -----------------------------------------------------------
     def _install_stdlib(self):
         prints: list[str] = []
@@ -1099,6 +1103,8 @@ class Interpreter:
         table_mod.set("remove", t_remove)
         table_mod.set("concat", t_concat)
         table_mod.set("sort", t_sort)
+        # Lua 5.0 legacy kept by 5.1 (and gopher-lua): getn == #t
+        table_mod.set("getn", lambda t: (float(t.length()),))
 
         math_mod = LuaTable.from_dict({})
         math_mod.set("floor", lambda x: (float(int(lua_tonumber(x) // 1)),))
@@ -1156,6 +1162,21 @@ class Interpreter:
             self._rand_state = (int(lua_tonumber(x) or 0) or 1) & 0xFFFFFFFFFFFFFFFF
             return ()
 
+        import math as _math_host
+
+        for _name in ("exp", "sin", "cos", "tan", "asin", "acos", "atan"):
+            _f = getattr(_math_host, _name)
+            math_mod.set(
+                _name, (lambda f: lambda x: (f(lua_tonumber(x)),))(_f)
+            )
+
+        def m_log(x, base=None):
+            v = lua_tonumber(x)
+            if base is None:
+                return (_math_host.log(v),)
+            return (_math_host.log(v) / _math_host.log(lua_tonumber(base)),)
+
+        math_mod.set("log", m_log)
         math_mod.set("random", m_random)
         math_mod.set("randomseed", m_randomseed)
 
@@ -1302,6 +1323,78 @@ class Interpreter:
         g.declare("string", string_mod)
         g.declare("table", table_mod)
         g.declare("math", math_mod)
+
+        # os module — DETERMINISTIC by design: a replayable pipeline must
+        # produce identical output on re-run, so os.time() returns a
+        # fixed per-interpreter epoch (override with
+        # interp.set_os_epoch(...) or by passing a date table, the 5.1
+        # os.time(t) form) and os.clock() a monotone counter.  os.date
+        # formats in UTC (a worker's local TZ is nondeterministic across
+        # a cluster); '*t'/'!*t' return the 5.1 date table.
+        import calendar as _cal
+        import time as _time_host
+
+        self._os_epoch = 1_600_000_000.0
+        self._os_clock = [0.0]
+        os_mod = LuaTable.from_dict({})
+
+        def os_time(t=None):
+            if isinstance(t, LuaTable):
+                def fld(name, default):
+                    v = t.get(name)
+                    # 5.1 defaults hour to 12 (min/sec to 0) only when
+                    # ABSENT — `or` would misread an explicit 0
+                    return default if v is None else int(lua_tonumber(v))
+
+                tm = (
+                    fld("year", 0),
+                    fld("month", 1),
+                    fld("day", 1),
+                    fld("hour", 12),
+                    fld("min", 0),
+                    fld("sec", 0),
+                    0,
+                    0,
+                )
+                return (float(_cal.timegm(tm)),)
+            return (self._os_epoch,)
+
+        def os_date(fmt=None, t=None):
+            fmt = fmt if isinstance(fmt, str) else "%c"
+            epoch = lua_tonumber(t) if t is not None else self._os_epoch
+            if fmt.startswith("!"):
+                fmt = fmt[1:]  # '!' selects UTC; we are always UTC
+            st = _time_host.gmtime(epoch)
+            if fmt.startswith("*t"):
+                return (
+                    LuaTable.from_dict(
+                        {
+                            "year": float(st.tm_year),
+                            "month": float(st.tm_mon),
+                            "day": float(st.tm_mday),
+                            "hour": float(st.tm_hour),
+                            "min": float(st.tm_min),
+                            "sec": float(st.tm_sec),
+                            "wday": float(st.tm_wday == 6 and 1 or st.tm_wday + 2),
+                            "yday": float(st.tm_yday),
+                            "isdst": False,
+                        }
+                    ),
+                )
+            return (_time_host.strftime(fmt, st),)
+
+        def os_clock():
+            self._os_clock[0] += 0.001
+            return (self._os_clock[0],)
+
+        os_mod.set("time", os_time)
+        os_mod.set("date", os_date)
+        os_mod.set("clock", os_clock)
+        os_mod.set("difftime", lambda a, b=0.0: (
+            lua_tonumber(a) - lua_tonumber(b),
+        ))
+        os_mod.set("getenv", lambda *_: (None,))
+        g.declare("os", os_mod)
 
     # -- execution --------------------------------------------------------
     def exec_block(self, stmts, env):

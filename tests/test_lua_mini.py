@@ -630,3 +630,31 @@ def test_vararg_outside_vararg_function_is_compile_error():
         "local function f(...) return select('#', ...) end\nn = f(7, 8, 9)"
     ).run()
     assert i.global_get("n") == 3.0
+
+
+def test_os_module_deterministic_and_math_log_table_getn():
+    i = Interpreter(
+        "t1 = os.time()\n"
+        "t2 = os.time()\n"
+        "d = os.date('%Y-%m-%d %H:%M:%S', 0)\n"
+        "dt = os.date('*t', 86400)\n"
+        "y, mo, dd = dt.year, dt.month, dt.day\n"
+        "epoch = os.time({year=1970, month=1, day=2, hour=0})\n"
+        "c1 = os.clock(); c2 = os.clock()\n"
+        "lg = math.log(math.exp(1))\n"
+        "n = table.getn({10, 20, 30})"
+    ).run()
+    # deterministic: identical across calls and across runs
+    assert i.global_get("t1") == i.global_get("t2") == 1_600_000_000.0
+    assert i.global_get("d") == "1970-01-01 00:00:00"
+    assert (i.global_get("y"), i.global_get("mo"), i.global_get("dd")) == (1970.0, 1.0, 2.0)
+    assert i.global_get("epoch") == 86400.0
+    assert i.global_get("c2") > i.global_get("c1")
+    assert abs(i.global_get("lg") - 1.0) < 1e-12
+    assert i.global_get("n") == 3.0
+
+    i.set_os_epoch(86400 * 2)
+    i2 = Interpreter("d = os.date('!%Y-%m-%d', os.time())")
+    i2.set_os_epoch(86400 * 2)
+    i2.run()
+    assert i2.global_get("d") == "1970-01-03"
