@@ -35,10 +35,12 @@ rule scripts actually use, from the public Lua 5.1 reference manual:
   char), ``table`` (insert remove concat sort), ``math`` (floor ceil
   abs max min sqrt pow fmod modf huge pi, and random/randomseed over a
   DETERMINISTIC fixed-seed xorshift64* — gopher-lua seeds from the OS,
-  but a replayable pipeline needs script reproducibility), and
-  ``coroutine``.  ``os``/``io`` are deliberately absent: wall-clock and
-  filesystem access would make a deterministic replay irreproducible
-  (the reference's documented rule scripts never use them).
+  but a replayable pipeline needs script reproducibility), ``os``
+  (time/date/clock/difftime over a pinned replay clock — deterministic
+  for the same reason), and ``coroutine``.  ``io`` is deliberately
+  absent: filesystem access would make a deterministic replay
+  irreproducible (the reference's documented rule scripts never use
+  it).
 
 Host modules (redisOps, mongodbOps, esOps, mqOps, json, ...) are
 injected through ``require`` and as pre-set globals, mirroring
@@ -1150,12 +1152,24 @@ class Interpreter:
             return ((x * 2685821657736338717) & 0xFFFFFFFFFFFFFFFF) / 2**64
 
         def m_random(m=None, n=None):
+            # Lua 5.1 validates the interval BEFORE drawing (lmathlib.c
+            # math_random: luaL_argcheck(1<=u / m<=u, "interval is empty"))
+            # — gopher-lua raises the same error, observable via pcall.
             r = _next_rand()
             if m is None:
                 return (r,)
             if n is None:
-                return (float(1 + int(r * int(lua_tonumber(m)))),)
+                hi = int(lua_tonumber(m))
+                if hi < 1:
+                    raise LuaError(
+                        "bad argument #1 to 'random' (interval is empty)"
+                    )
+                return (float(1 + int(r * hi)),)
             lo, hi = int(lua_tonumber(m)), int(lua_tonumber(n))
+            if hi < lo:
+                raise LuaError(
+                    "bad argument #2 to 'random' (interval is empty)"
+                )
             return (float(lo + int(r * (hi - lo + 1))),)
 
         def m_randomseed(x=None):

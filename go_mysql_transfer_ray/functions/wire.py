@@ -179,17 +179,34 @@ def redis_resp_stream(
     )
 
 
+# JSON string-literal escapes, applied in order (backslash FIRST so the
+# escapes it introduces are never re-escaped): backslash, quote, the
+# named control shorthands \b \t \n \f \r (the same forms encode_json's
+# json.dumps path emits for bodies), \u00xx for the remaining C0
+# controls — merge keys legitimately contain \x00 (CLAUDE.md) and a raw
+# newline in an _id would split an ES bulk action line across NDJSON
+# rows — and the HTML trio Go's json.Marshal escapes by default.
+_JSON_ESCAPES: "tuple[tuple[str, str], ...]" = (
+    (("\\", "\\\\"), ('"', '\\"'),
+     ("\b", "\\b"), ("\t", "\\t"), ("\n", "\\n"),
+     ("\f", "\\f"), ("\r", "\\r"))
+    + tuple(
+        (chr(c), f"\\u{c:04x}")
+        for c in range(0x20)
+        if chr(c) not in "\b\t\n\f\r"
+    )
+    + (("<", "\\u003c"), (">", "\\u003e"), ("&", "\\u0026"))
+)
+
+
 def _json_escape(col):
-    """Escape a value for embedding inside a JSON string literal exactly
-    as Go's json.Marshal does (backslash, quote, and the HTML trio —
-    encoders._escape_html_like_go parity)."""
-    for lit, rep in (
-        ("\\", "\\\\"),
-        ('"', '\\"'),
-        ("<", "\\u003c"),
-        (">", "\\u003e"),
-        ("&", "\\u0026"),
-    ):
+    """Escape a value for embedding inside a JSON string literal with the
+    same byte output as ``encoders.encode_json`` (json.dumps +
+    Go-HTML-escape) produces for body strings — named shorthands for the
+    common controls, ``\\u00xx`` for the rest, so metadata fields
+    (``_index``/``_type``/``_id``) and bodies frame identically and no
+    raw control byte can corrupt NDJSON/extended-JSON framing."""
+    for lit, rep in _JSON_ESCAPES:
         col = pc.replace_substring(col, pattern=lit, replacement=rep)
     return col
 

@@ -658,3 +658,23 @@ def test_os_module_deterministic_and_math_log_table_getn():
     i2.set_os_epoch(86400 * 2)
     i2.run()
     assert i2.global_get("d") == "1970-01-03"
+
+
+def test_math_random_empty_interval_raises_like_lua51():
+    """Lua 5.1 lmathlib.c validates the range before drawing —
+    random(0) and random(5, 2) raise 'interval is empty', observable
+    through pcall (gopher-lua matches)."""
+    it = run(
+        """
+        ok1, e1 = pcall(function() return math.random(0) end)
+        ok2, e2 = pcall(function() return math.random(5, 2) end)
+        ok3, v3 = pcall(function() return math.random(3, 3) end)
+        v4 = math.random(1)
+        """
+    )
+    assert it.global_get("ok1") is False
+    assert "interval is empty" in lua_tostring(it.global_get("e1"))
+    assert it.global_get("ok2") is False
+    assert "interval is empty" in lua_tostring(it.global_get("e2"))
+    assert it.global_get("ok3") is True and it.global_get("v3") == 3.0
+    assert it.global_get("v4") == 1.0

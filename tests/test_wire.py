@@ -279,3 +279,53 @@ def test_hash_null_field_frames_as_empty_bulk_string():
     (frame,) = redis_resp_stream(plan, batch, value_col="v").column("resp").to_pylist()
     assert frame is not None
     assert parse_resp(frame) == [["HSET", "h", "", "1"]]
+
+
+def test_json_escape_control_characters_match_encode_json():
+    """Metadata fields must escape C0 controls the same way encode_json's
+    json.dumps path escapes body strings — a raw newline in an _id would
+    split the bulk action line across NDJSON rows, and merge keys carry
+    embedded NULs (CLAUDE.md)."""
+    import json
+
+    from go_mysql_transfer_ray.functions.encoders import encode_json
+    from go_mysql_transfer_ray.functions.wire import _json_escape
+
+    nasty = "a\nb\rc\td\x00e\x1ff\bg\fh\\i\"j<k>&"
+    (escaped,) = _json_escape(pa.array([nasty])).to_pylist()
+    # byte-identical to the body escaper's JSON string literal
+    assert f'"{escaped}"' == encode_json({"k": nasty})[len('{"k":'):-1]
+    # the action line stays ONE line and round-trips
+    assert "\n" not in escaped and "\r" not in escaped
+    assert json.loads(f'"{escaped}"') == nasty
+
+
+def test_es_bulk_ndjson_newline_id_keeps_framing():
+    ops = _ops(
+        [
+            {
+                "es_index": "t",
+                "es_type": "_doc",
+                "id": "a\nb\x00c",
+                "action": "delete",
+                "body": "{}",
+            }
+        ]
+    )
+    (line,) = es_bulk_ndjson(ops).column("ndjson").to_pylist()
+    # exactly one NDJSON line (trailing \n), valid JSON, id round-trips
+    assert line.count("\n") == 1 and line.endswith("\n")
+    import json
+
+    assert json.loads(line.rstrip("\n"))["delete"]["_id"] == "a\nb\x00c"
+
+
+def test_mongo_bulk_models_control_char_string_id():
+    from go_mysql_transfer_ray.functions.wire import mongo_bulk_models
+
+    ops = _ops([{"id": "k\x00\nx", "action": "delete", "body": "{}"}])
+    (m,) = mongo_bulk_models(ops, id_numeric=False).column("model").to_pylist()
+    import json
+
+    assert "\n" not in m
+    assert json.loads(m)["deleteOne"]["filter"]["_id"] == "k\x00\nx"
