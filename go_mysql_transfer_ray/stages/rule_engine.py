@@ -267,12 +267,18 @@ _ENGINE_CACHE_MAX = 8
 
 
 def _cached_engine(key, build):
-    eng = _ENGINE_CACHE.get(key)
+    # LRU, not clear-all: a driver alternating >MAX distinct plans must
+    # not thrash recompiles, and evicting only the least-recently-used
+    # entry releases the engine's materialized broadcast-lookup dict
+    # (otherwise pinned in long-lived Ray workers after its pipeline
+    # ends).  dict preserves insertion order; re-inserting on hit makes
+    # the first key the LRU victim.
+    eng = _ENGINE_CACHE.pop(key, None)
     if eng is None:
-        if len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
-            _ENGINE_CACHE.clear()
+        while len(_ENGINE_CACHE) >= _ENGINE_CACHE_MAX:
+            _ENGINE_CACHE.pop(next(iter(_ENGINE_CACHE)))
         eng = build()
-        _ENGINE_CACHE[key] = eng
+    _ENGINE_CACHE[key] = eng
     return eng
 
 

@@ -243,3 +243,27 @@ def test_rule_concurrency_int_caps_task_pool(tmp_path):
 
     ora = oracle.replay_full(generate(CFG).table)
     assert engine.num_rows == len(ora)
+
+
+def test_cached_engine_lru_evicts_oldest_only():
+    # Alternating >MAX distinct plans must evict one-at-a-time (LRU), not
+    # clear the whole cache — and a hit must refresh recency so a hot
+    # plan survives a parade of cold ones (ADVICE r4).
+    from go_mysql_transfer_ray.stages import rule_engine as re_mod
+
+    re_mod._ENGINE_CACHE.clear()
+    builds = []
+
+    def make(k):
+        return re_mod._cached_engine(k, lambda: builds.append(k) or object())
+
+    hot = make("hot")
+    for i in range(re_mod._ENGINE_CACHE_MAX * 2):
+        make(f"cold{i}")
+        assert make("hot") is hot  # refreshed on every touch, never evicted
+        assert len(re_mod._ENGINE_CACHE) <= re_mod._ENGINE_CACHE_MAX
+    assert builds.count("hot") == 1
+    # oldest cold entries were evicted one at a time, newest retained
+    assert f"cold{re_mod._ENGINE_CACHE_MAX * 2 - 1}" in re_mod._ENGINE_CACHE
+    assert "cold0" not in re_mod._ENGINE_CACHE
+    re_mod._ENGINE_CACHE.clear()
