@@ -112,15 +112,10 @@ def event_files(events_dir: str) -> list[str]:
     return files
 
 
-def stream_facts(events_dir: str) -> dict:
-    """Target watermark + DDL positions from pruned reads only.
-
-    * max gtid: parquet row-group statistics (no data read at all);
-    * DDL rows: projected ``(gtid, ddl)`` read with an ``op == 'ddl'``
-      row-group-pushdown filter — the in-band analogue of the reference's
-      ``OnDDL`` callback (/root/reference/service/handler.go:56-62).
-    """
-    files = event_files(events_dir)
+def _chunk_facts(files: list[str], ddl_columns: list[str]) -> "tuple[int, pa.Table]":
+    """Footer statistics + pruned DDL rows for ONE chunk of event shards.
+    Pure function of its inputs so it runs identically inline, on a
+    thread, or as a Ray task."""
     max_gtid = -1
     for f in files:
         md = pq.ParquetFile(f).metadata
@@ -129,11 +124,55 @@ def stream_facts(events_dir: str) -> dict:
             st = md.row_group(rg).column(gi).statistics
             if st is not None and st.has_min_max:
                 max_gtid = max(max_gtid, st.max)
-    ddl = (
-        pads.dataset(files)
-        .to_table(columns=["gtid", "ddl"], filter=pc.field("op") == "ddl")
-        .sort_by("gtid")
+    ddl = pads.dataset(files).to_table(
+        columns=ddl_columns, filter=pc.field("op") == "ddl"
     )
+    return max_gtid, ddl
+
+
+_FACTS_CHUNK = 64  # shards per footer-scan task
+
+
+def _scan_facts(files: list[str], ddl_columns: list[str]) -> "tuple[int, pa.Table]":
+    """Fan the per-shard footer reads + pruned DDL reads out instead of
+    looping them on the driver (round-4 verdict: at the 10^10 target the
+    stream is 10^4–10^5 shards on object storage, and O(files) serial
+    metadata round-trips stall the driver before any task launches).
+
+    Chunks of ``_FACTS_CHUNK`` shards go to a thread pool when the fleet
+    is small (footer reads release the GIL inside Arrow; no task-launch
+    overhead) and to Ray tasks when it is large — each task folds its
+    chunk's max-gtid and returns only the (tiny) DDL rows.  Never calls
+    ``ray.init`` (library rule): without a session the thread pool
+    handles any size."""
+    chunks = [files[i : i + _FACTS_CHUNK] for i in range(0, len(files), _FACTS_CHUNK)]
+    if len(chunks) == 1:
+        results = [_chunk_facts(chunks[0], ddl_columns)]
+    elif len(chunks) <= 8 or not ray.is_initialized():
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(min(len(chunks), 16)) as ex:
+            results = list(ex.map(lambda c: _chunk_facts(c, ddl_columns), chunks))
+    else:
+        task = ray.remote(num_cpus=0.25)(_chunk_facts)
+        results = ray.get([task.remote(c, ddl_columns) for c in chunks])
+    max_gtid = max((r[0] for r in results), default=-1)
+    ddl = pa.concat_tables([r[1] for r in results]).sort_by("gtid")
+    return max_gtid, ddl
+
+
+def stream_facts(events_dir: str) -> dict:
+    """Target watermark + DDL positions from pruned reads only.
+
+    * max gtid: parquet row-group statistics (no data read at all);
+    * DDL rows: projected ``(gtid, ddl)`` read with an ``op == 'ddl'``
+      row-group-pushdown filter — the in-band analogue of the reference's
+      ``OnDDL`` callback (/root/reference/service/handler.go:56-62).
+
+    Both scans fan out per shard chunk (``_scan_facts``) so facts
+    discovery is O(files / parallelism), not O(files), at fleet scale.
+    """
+    max_gtid, ddl = _scan_facts(event_files(events_dir), ["gtid", "ddl"])
     ddl_events = [
         {"gtid": g, **d}
         for g, d in zip(ddl.column("gtid").to_pylist(), ddl.column("ddl").to_pylist())
@@ -526,19 +565,8 @@ def stream_facts_multi(events_dir: str) -> dict:
     """Watermark + PER-TABLE DDL positions from pruned reads (the
     multi-table analogue of ``stream_facts``; DDL rows carry their
     table, so each table's arity history stays independent)."""
-    files = event_files(events_dir)
-    max_gtid = -1
-    for f in files:
-        md = pq.ParquetFile(f).metadata
-        gi = md.schema.to_arrow_schema().get_field_index("gtid")
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(gi).statistics
-            if st is not None and st.has_min_max:
-                max_gtid = max(max_gtid, st.max)
-    ddl = (
-        pads.dataset(files)
-        .to_table(columns=["gtid", "table", "ddl"], filter=pc.field("op") == "ddl")
-        .sort_by("gtid")
+    max_gtid, ddl = _scan_facts(
+        event_files(events_dir), ["gtid", "table", "ddl"]
     )
     by_table: dict[str, list[dict]] = {}
     for g, t, d in zip(

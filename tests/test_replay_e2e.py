@@ -407,3 +407,27 @@ def test_lambda_plan_change_not_fenced(tmp_path):
     assert m["parts_written"] > 0 and m["parts_skipped"] == 0
     tags = set(cdc.lake_table(out).column("tag").to_pylist())
     assert tags == {"two"}
+
+
+def test_scan_facts_chunked_paths_match_serial(tmp_path, monkeypatch):
+    """The fanned-out facts scan (thread-pool and Ray-task paths) must
+    produce byte-identical facts to a serial footer loop — exercised by
+    shrinking _FACTS_CHUNK so a 12-shard fixture spans many chunks
+    (round-4 verdict item 3: the driver footer loop was O(files))."""
+    cfg = BinlogConfig(num_keys=300, avg_events_per_key=3.0, delete_pct=10,
+                       ddl_at=0.5)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=12)
+    serial = cdc.stream_facts(events_dir)  # 12 files → 1 chunk → inline
+
+    monkeypatch.setattr(cdc, "_FACTS_CHUNK", 3)  # 4 chunks → thread pool
+    threaded = cdc.stream_facts(events_dir)
+    assert threaded == serial
+
+    monkeypatch.setattr(cdc, "_FACTS_CHUNK", 1)  # 12 chunks → Ray tasks
+    rayed = cdc.stream_facts(events_dir)
+    assert rayed == serial
+    multi = cdc.stream_facts_multi(events_dir)
+    assert multi["watermark"] == serial["watermark"]
+    assert sorted(
+        d["gtid"] for ds in multi["ddl_by_table"].values() for d in ds
+    ) == sorted(d["gtid"] for d in serial["ddl_events"])
