@@ -133,6 +133,25 @@ def _chunk_facts(files: list[str], ddl_columns: list[str]) -> "tuple[int, pa.Tab
 _FACTS_CHUNK = 64  # shards per footer-scan task
 
 
+def _projected_event_schema(events_dir: str, payload_fields: set) -> pa.Schema:
+    """Event-read schema with ``before``/``after`` structs narrowed to
+    ``payload_fields`` — parquet prunes at the LEAF level, so struct
+    fields a rule never consumes (e.g. a fat ``content`` column) never
+    leave storage.  All other top-level fields pass through; derived
+    from the first shard's footer (the generator writes one schema per
+    stream)."""
+    full = pq.ParquetFile(event_files(events_dir)[0]).schema_arrow
+    fields = []
+    for f in full:
+        if f.name in ("before", "after") and pa.types.is_struct(f.type):
+            sub = [f.type.field(i) for i in range(f.type.num_fields)
+                   if f.type.field(i).name in payload_fields]
+            fields.append(pa.field(f.name, pa.struct(sub), f.nullable))
+        else:
+            fields.append(f)
+    return pa.schema(fields)
+
+
 def _scan_facts(files: list[str], ddl_columns: list[str]) -> "tuple[int, pa.Table]":
     """Fan the per-shard footer reads + pruned DDL reads out instead of
     looping them on the driver (round-4 verdict: at the 10^10 target the
@@ -366,11 +385,32 @@ def replay(
     )
     ddl_gtid = [d["gtid"] for d in ddl_events] or None
 
+    # projection pushdown (rule → read): when a compiled plan's consumed
+    # column set is statically known (no UDF — a UDF sees whole rows), only
+    # those payload columns leave storage: the parquet scan reads narrowed
+    # before/after structs (leaf-level pruning) and decode extracts only
+    # them.  The reference reads full rows always (canal hands it complete
+    # row images); this is the Ray-side win of a declarative rule.
+    pushdown: "tuple[tuple[str, ...], tuple[tuple[str, str], ...]] | None" = None
     if rule_config is not None:
         if udf is not None:
             final_cols = None  # UDF may add columns: derive from the data
         else:
-            final_cols = list(RulePlan(rule_config, _stream_specs(ddl_events)).output_order)
+            plan = RulePlan(rule_config, _stream_specs(ddl_events))
+            final_cols = list(plan.output_order)
+            needed = {p.column_name for p in plan.paddings} | set(
+                rule_config.primary_keys
+            )
+            base_needed = tuple(c for c in BASE_COLUMNS if c in needed)
+            all_ddl = _ddl_columns(ddl_events)
+            ddl_needed = tuple((n, mt) for n, mt in all_ddl if n in needed)
+            narrower = (
+                len(base_needed) < len(BASE_COLUMNS)
+                or len(ddl_needed) < len(all_ddl)
+            )
+            if narrower and not rule_config.reserve_raw_data:
+                # reserve_raw_data keeps the full old-row image — no pruning
+                pushdown = (base_needed, ddl_needed)
     else:
         final_cols = _final_columns(ddl_events)
 
@@ -402,7 +442,15 @@ def replay(
             "resumed": True,
         }
 
-    ds = ray.data.read_parquet(event_files(events_dir))
+    read_schema = None
+    if pushdown is not None and extra_events is None:
+        # extra_events carry full structs; a narrowed main read would
+        # union mismatched schemas — decode-side narrowing still applies
+        read_schema = _projected_event_schema(
+            events_dir,
+            set(pushdown[0]) | {n for n, _ in pushdown[1]},
+        )
+    ds = ray.data.read_parquet(event_files(events_dir), schema=read_schema)
     if extra_events is not None:
         ds = ds.union(extra_events)
     keep_before = rule_config is not None and (
@@ -410,7 +458,8 @@ def replay(
     )
     ds = ds.map_batches(
         Decoder(ddl_gtid=ddl_gtid, keep_before=keep_before,
-                ddl_columns=_ddl_columns(ddl_events)),
+                ddl_columns=pushdown[1] if pushdown else _ddl_columns(ddl_events),
+                payload_columns=pushdown[0] if pushdown else None),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

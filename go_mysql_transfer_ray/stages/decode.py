@@ -149,14 +149,25 @@ def decode_batch(
     ddl_gtid: "int | list[int] | None" = None,
     keep_before: bool = False,
     ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),),
+    payload_columns: "tuple[str, ...] | None" = None,
 ) -> pa.Table:
     """Single-table decode: columns/PK/arity derive from the named table
     (the flagship by default; any registered table works — the arity
-    guard must count THAT table's columns or every row is dropped)."""
+    guard must count THAT table's columns or every row is dropped).
+
+    ``payload_columns``: optional projection pushdown — extract only
+    these base columns (a rule's consumed set; must contain the PKs).
+    ``base_width`` stays the full table width so the arity guard is
+    unchanged by the projection."""
+    cols = (
+        payload_columns
+        if payload_columns is not None
+        else tuple(TABLE_COLUMNS[table])
+    )
     return decode_table_batch(
         batch,
         table=table,
-        columns=tuple(TABLE_COLUMNS[table]),
+        columns=cols,
         pk_columns=TABLE_PKS[table],
         base_width=len(TABLE_COLUMNS[table]),
         ddl_gtid=ddl_gtid,
@@ -170,16 +181,24 @@ class Decoder:
 
     def __init__(self, table: str = TABLE_NAME, ddl_gtid=None,
                  keep_before: bool = False,
-                 ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),)):
+                 ddl_columns: "tuple[tuple[str, str], ...]" = (("stars", "number"),),
+                 payload_columns: "tuple[str, ...] | None" = None):
         self.table = table
         self.ddl_gtid = ddl_gtid
         self.keep_before = keep_before
         self.ddl_columns = tuple(ddl_columns)
+        # projection pushdown: extract only the payload columns a
+        # downstream rule consumes (must include its PKs) — the arity
+        # guard still counts the FULL table width via base_width.
+        self.payload_columns = (
+            tuple(payload_columns) if payload_columns is not None else None
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return decode_batch(
             batch, table=self.table, ddl_gtid=self.ddl_gtid,
             keep_before=self.keep_before, ddl_columns=self.ddl_columns,
+            payload_columns=self.payload_columns,
         )
 
 

@@ -267,3 +267,48 @@ def test_cached_engine_lru_evicts_oldest_only():
     assert f"cold{re_mod._ENGINE_CACHE_MAX * 2 - 1}" in re_mod._ENGINE_CACHE
     assert "cold0" not in re_mod._ENGINE_CACHE
     re_mod._ENGINE_CACHE.clear()
+
+
+def test_rule_projection_pushdown_narrows_read_same_lake(tmp_path, monkeypatch):
+    """A no-UDF projecting rule must narrow the parquet read to the
+    consumed struct fields (round-4 verdict item 4: leaf-level pruning,
+    the fat content column never leaves storage) — and converge to the
+    same lake as the unpruned decode."""
+    seen = {}
+    orig = cdc._projected_event_schema
+
+    def spy(events_dir, fields):
+        s = orig(events_dir, fields)
+        seen["fields"] = set(fields)
+        seen["after"] = set(f.name for f in s.field("after").type)
+        return s
+
+    monkeypatch.setattr(cdc, "_projected_event_schema", spy)
+    rule = RuleConfig(include_columns="repo,path,lang")
+    engine, _ = run(tmp_path, rule_config=rule)
+    # the read schema was narrowed to exactly the consumed payload set
+    assert seen["fields"] == {"repo", "path", "lang"}
+    assert seen["after"] == {"repo", "path", "lang"}  # no content/commit/stars
+
+    ora = oracle.replay_full(generate(CFG).table)
+    expected = oracle_rule_rows(
+        ora, lambda r: {"repo": r["repo"], "path": r["path"], "lang": r["lang"]}
+    )
+    got = engine_rows(engine, lambda r: r["repo"] + r["path"])
+    assert got == {
+        oracle.composite_key(v["repo"], v["path"]): v for v in expected.values()
+    }
+
+
+def test_full_width_rule_skips_pushdown(tmp_path, monkeypatch):
+    """A rule consuming every column must not pay the narrowed-schema
+    read path at all."""
+    called = []
+    monkeypatch.setattr(
+        cdc, "_projected_event_schema",
+        lambda *a: called.append(a) or (_ for _ in ()).throw(AssertionError),
+    )
+    rule = RuleConfig()  # identity projection: all columns consumed
+    engine, _ = run(tmp_path, rule_config=rule)
+    assert called == []
+    assert engine.num_rows == len(oracle.replay_full(generate(CFG).table))
