@@ -133,3 +133,138 @@ def test_frame_sampler_real_luma():
             k = int(r["frame_index"])
             expect = w * h * base + geo + 3 * k * w * h
             assert r["frame_luma_sum"] == expect
+
+
+# ---------------------------------------------------------------------------
+# fast-path (format-grouped vectorized) vs scalar-codec parity
+
+
+def _force_scalar(tab):
+    """Run MediaFeatureExtractor through the per-row scalar codecs only."""
+    import pyarrow as pa
+
+    ex = multimodal.MediaFeatureExtractor()
+    n = tab.num_rows
+    out = {
+        f.name: np.full(n, -1, dtype=np.int64)
+        for f in multimodal._FEATURE_SCHEMA
+        if f.type == pa.int64() and f.name != "media_id"
+    }
+    valid = {k: np.zeros(n, dtype=bool) for k in out}
+    ex._scalar_rows(tab.combine_chunks(), list(range(n)), out, valid)
+    cols = {
+        "media_id": tab.column("media_id"),
+        "media_type": tab.column("media_type"),
+        "format": tab.column("format"),
+    }
+    for k in out:
+        cols[k] = pa.array(out[k], pa.int64(), mask=~valid[k])
+    return pa.table(cols, schema=multimodal._FEATURE_SCHEMA)
+
+
+def _noncanonical_media_table():
+    """Payload variants the fast paths must ROUTE TO FALLBACK: legal per
+    spec but not the canonical layout the encoders emit."""
+    import struct
+    import pyarrow as pa
+
+    rows = []
+    # PPM with a header comment
+    rgb = multimodal._image_pixels(6)
+    rows.append((b"P6\n# c\n" + multimodal.encode_ppm(rgb)[3:], "image", "ppm"))
+    # PPM with double-space separator
+    buf = multimodal.encode_ppm(multimodal._image_pixels(9))
+    head, rest = buf.split(b"\n", 2)[0], buf.split(b"\n", 2)
+    rows.append((b"P6\n" + rest[1].replace(b" ", b"  ") + b"\n" + rest[2],
+                 "image", "ppm"))
+    # WAV with a LIST chunk spliced between fmt and data
+    samples, rate = multimodal._audio_samples(1)
+    wav = multimodal.encode_wav(samples, rate)
+    fmt_end = 12 + 8 + 16
+    rows.append((wav[:fmt_end] + b"LIST" + struct.pack("<I", 5) + b"INFOx\x00"
+                 + wav[fmt_end:], "audio", "wav"))
+    # Y4M whose FRAME markers carry parameters
+    y4m = multimodal.encode_y4m(multimodal._video_frames(2))
+    rows.append((y4m.replace(b"FRAME\n", b"FRAME Ixy\n"), "video", "y4m"))
+    # top-down BMP (negative height) — in-band for the fast path itself
+    rgb = multimodal._image_pixels(12)
+    bmp = bytearray(multimodal.encode_bmp(rgb))
+    h = rgb.shape[0]
+    # flip height sign and un-flip the rows so pixels stay identical
+    struct.pack_into("<i", bmp, 22, -h)
+    row_sz = (3 * rgb.shape[1] + 3) & ~3
+    body = bytes(bmp[54:])
+    flipped = b"".join(
+        body[(h - 1 - r) * row_sz : (h - r) * row_sz] for r in range(h)
+    )
+    rows.append((bytes(bmp[:54]) + flipped, "image", "bmp"))
+    return pa.table(
+        {
+            "media_id": pa.array(range(len(rows)), pa.int64()),
+            "payload": pa.array([r[0] for r in rows], pa.binary()),
+            "media_type": pa.array([r[1] for r in rows], pa.string()),
+            "format": pa.array([r[2] for r in rows], pa.string()),
+        },
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+
+
+def test_fast_paths_match_scalar_on_canonical_corpus():
+    tab = multimodal.synthetic_media_table(n=48)
+    fast = multimodal.MediaFeatureExtractor()(tab)
+    assert fast.equals(_force_scalar(tab))
+
+
+def test_fast_paths_fall_back_and_match_on_noncanonical_payloads():
+    tab = _noncanonical_media_table()
+    fast = multimodal.MediaFeatureExtractor()(tab)
+    assert fast.equals(_force_scalar(tab))
+    # and a shuffled mix of canonical + non-canonical in one batch
+    import pyarrow as pa
+    base = multimodal.synthetic_media_table(n=15)
+    mixed = pa.concat_tables([
+        base.set_column(0, "media_id",
+                        pa.array(range(100, 115), pa.int64())),
+        tab,
+    ]).combine_chunks()
+    idx = np.argsort(np.arange(mixed.num_rows) * 7919 % 97).tolist()
+    mixed = mixed.take(idx)
+    assert multimodal.MediaFeatureExtractor()(mixed).equals(
+        _force_scalar(mixed)
+    )
+
+
+def test_frame_sampler_fast_matches_scalar_mixed():
+    import pyarrow as pa
+    # canonical videos + one param-carrying Y4M that must fall back
+    base = multimodal.synthetic_media_table(n=24)
+    y4m = multimodal.encode_y4m(multimodal._video_frames(5))
+    odd = pa.table(
+        {
+            "media_id": pa.array([999], pa.int64()),
+            "payload": pa.array(
+                [y4m.replace(b"FRAME\n", b"FRAME Ixy\n")], pa.binary()
+            ),
+            "media_type": pa.array(["video"], pa.string()),
+            "format": pa.array(["y4m"], pa.string()),
+        },
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    mixed = pa.concat_tables([base, odd]).combine_chunks()
+    got = multimodal.FrameSampler(frames=3)(mixed).to_pandas()
+    # scalar expectation straight from decode_y4m
+    for mid in got["media_id"].unique():
+        row = mixed.take(
+            np.flatnonzero(
+                np.asarray(mixed.column("media_id")) == mid
+            ).tolist()
+        )
+        luma, _, _ = multimodal.decode_y4m(row.column("payload")[0].as_py())
+        total = luma.shape[0]
+        take = np.unique(
+            np.linspace(0, max(total - 1, 0), min(3, total)).astype(np.int64)
+        )
+        sub = got[got["media_id"] == mid].sort_values("frame_index")
+        assert list(sub["frame_index"]) == take.tolist()
+        expect = luma[take].sum(axis=(1, 2), dtype=np.int64)
+        assert list(sub["frame_luma_sum"]) == expect.tolist()
