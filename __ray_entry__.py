@@ -1669,6 +1669,157 @@ def q_media_features(sf_dir: str):
     return multimodal.media_features(ray.data.from_arrow(tab))
 
 
+def _live_loop_run(dataset_fn, endpoint, server, *, frame_col: str,
+                   fail_after: int, batch_size: int = 2048):
+    """Shared live-delivery runner: LiveSinkLoop with a position file in
+    a fresh temp dir, plus a deterministic mid-stream fault — the sink
+    dies after ``fail_after`` commands/requests and heals on the
+    recovery loop's first ping sleep, so every CORRECTNESS row for a
+    live query also evidences the pause → ping → resume-from-checkpoint
+    path (handler.go:173-181, transfer_service.go:328-354)."""
+    import tempfile
+
+    from go_mysql_transfer_ray.pipelines.live_sink import (
+        FilePositionStore,
+        LiveSinkLoop,
+        frame_stream,
+    )
+
+    server.fail_after(fail_after)
+    healer = {"done": False}
+
+    def heal_once(dt):
+        if not healer["done"]:
+            server.heal()
+            healer["done"] = True
+
+    loop = LiveSinkLoop(
+        endpoint,
+        FilePositionStore(
+            os.path.join(tempfile.mkdtemp(prefix="live_pos_"), "pos.json")
+        ),
+        pos_save_every=3,
+        ping_interval=0.0,
+        sleep=heal_once,
+    )
+    return loop.run(
+        frame_stream(dataset_fn, frame_col=frame_col, batch_size=batch_size)
+    )
+
+
+def q_live_resp_state(sf_dir: str):
+    """The reference's DAEMON runtime, end to end: the exact RESP frames
+    of a string-structure Redis rule (redis.go:228-231) delivered over a
+    real 127.0.0.1 TCP socket to an in-process RESP v2 server, through
+    the Connect/Ping/Consume loop with a mid-stream sink kill + heal —
+    consume error → pause → ping → resume from the saved position
+    (handler.go:173-181, transfer_service.go:328-354).  Returns the
+    server's converged string keyspace, which must hash-match the same
+    LWW SQL as the batch-converged ``redis_string_state``: at-least-once
+    redelivery over idempotent SET/DEL converges byte-identically."""
+    from go_mysql_transfer_ray.functions.loopback import LoopbackRespServer
+    from go_mysql_transfer_ray.functions.wire import redis_resp_stream
+    from go_mysql_transfer_ray.pipelines.live_sink import RespEndpoint
+    from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan
+
+    plan = RedisPlan(
+        RedisConfig(structure="string", key_prefix="evt:", key_column="user_id"),
+        pk_columns=("user_id",),
+    )
+
+    def frames(t: pa.Table) -> pa.Table:
+        return redis_resp_stream(plan, t, value_col="event_type")
+
+    def dataset_fn(from_gtid: int):
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t.column("gtid"), from_gtid))
+
+        return (
+            _events_as_changes(sf_dir)
+            .map_batches(prune, batch_format="pyarrow")
+            .map_batches(frames, batch_format="pyarrow")
+        )
+
+    server = LoopbackRespServer().start()
+    try:
+        _live_loop_run(
+            dataset_fn, RespEndpoint(server.address), server,
+            frame_col="resp", fail_after=600,
+        )
+        snap = server.snapshot()
+    finally:
+        server.stop()
+    keys = sorted(k for k, (typ, _) in snap.items() if typ == "string")
+    return pa.table(
+        {
+            "redis_key": pa.array(keys, pa.string()),
+            "value": pa.array([snap[k][1] for k in keys], pa.string()),
+        }
+    )
+
+
+def q_live_es_state(sf_dir: str):
+    """The HTTP-bulk half of the live loop: ES7 typeless bulk NDJSON
+    bodies (elastic7.go bulk path) POSTed to an in-process /_bulk
+    endpoint with the same kill + heal mid-stream; the converged doc
+    store (delete drops, index puts, LWW by delivery order) must
+    hash-match the SQL restatement."""
+    from go_mysql_transfer_ray.functions.loopback import LoopbackHttpBulkServer
+    from go_mysql_transfer_ray.functions.wire import es_bulk_ndjson
+    from go_mysql_transfer_ray.pipelines.live_sink import HttpBulkEndpoint
+
+    def frames(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column("user_id"), pa.string())
+        body = pc.binary_join_element_wise(
+            '{"user_id":', ids, ',"event_type":"', t.column("event_type"),
+            '"}', "",
+        )
+        ops = pa.table(
+            {
+                "es_index": pa.array(["events"] * t.num_rows, pa.string()),
+                "es_type": pa.array(["_doc"] * t.num_rows, pa.string()),
+                "id": ids,
+                "action": t.column("op"),
+                "body": body,
+            }
+        )
+        nd = es_bulk_ndjson(ops, include_type=False)
+        return pa.table({"gtid": t.column("gtid"), "ndjson": nd.column("ndjson")})
+
+    def dataset_fn(from_gtid: int):
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t.column("gtid"), from_gtid))
+
+        return (
+            _events_as_changes(sf_dir)
+            .map_batches(prune, batch_format="pyarrow")
+            .map_batches(frames, batch_format="pyarrow")
+        )
+
+    server = LoopbackHttpBulkServer().start()
+    try:
+        # HTTP faults tick per request: die on the 3rd, heal on ping
+        _live_loop_run(
+            dataset_fn, HttpBulkEndpoint(server.address), server,
+            frame_col="ndjson", fail_after=3,
+        )
+        docs = server.snapshot()
+    finally:
+        server.stop()
+    ids = sorted(docs, key=int)
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.string()),
+            "user_id": pa.array(
+                [docs[i]["user_id"] for i in ids], pa.int64()
+            ),
+            "event_type": pa.array(
+                [docs[i]["event_type"] for i in ids], pa.string()
+            ),
+        }
+    )
+
+
 def q_redis_resp_wire(sf_dir: str):
     """Exact RESP pipeline bytes for a string-structure Redis rule over
     the events change stream — the frames the reference's go-redis
@@ -1773,6 +1924,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "message_envelopes": q_message_envelopes,
         "message_envelopes_sql": q_message_envelopes_sql,
         "media_features": q_media_features,
+        # --- new in r5: live sink loop over real sockets -----------------
+        "live_resp_state": q_live_resp_state,
+        "live_es_state": q_live_es_state,
         # --- new in r4 ---------------------------------------------------
         "group_topk": q_group_topk,
         "deterministic_shard": q_deterministic_shard,
@@ -2172,6 +2326,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT 'evt:' || CAST(user_id AS VARCHAR) AS redis_key,
                    event_type AS value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        # the LIVE loop must converge to the same LWW state the batch
+        # fold computes — at-least-once redelivery over idempotent
+        # SET/DEL is invisible in the final keyspace
+        "live_resp_state": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT 'evt:' || CAST(user_id AS VARCHAR) AS redis_key,
+                   event_type AS value
+            FROM ranked WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "live_es_state": """
+            WITH ranked AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM events
+            )
+            SELECT CAST(user_id AS VARCHAR) AS id, user_id, event_type
             FROM ranked WHERE rn = 1 AND event_type <> 'error'
         """,
         "redis_hash_state": """

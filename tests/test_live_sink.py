@@ -1,0 +1,320 @@
+"""Live sink loop: exact wire frames over real sockets with the
+reference's failure semantics — consume error → pause → ping → resume
+from the saved position (handler.go:173-181, transfer_service.go:328-354).
+
+The decisive property: killing the sink mid-stream and healing it later
+must converge the sink to a state BYTE-IDENTICAL to an uninterrupted
+run's (at-least-once redelivery + idempotent per-key commands)."""
+
+import threading
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from go_mysql_transfer_ray.functions.loopback import (
+    LoopbackHttpBulkServer,
+    LoopbackRespServer,
+    SinkError,
+)
+from go_mysql_transfer_ray.functions.wire import es_bulk_ndjson, redis_resp_stream
+from go_mysql_transfer_ray.pipelines.live_sink import (
+    FilePositionStore,
+    HttpBulkEndpoint,
+    LiveSinkLoop,
+    RespEndpoint,
+    frame_stream,
+)
+from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan
+
+
+def _change_table(n=400, seed=7) -> pa.Table:
+    """Deterministic change stream: per-key inserts/updates/deletes in
+    gtid order (op of the LAST row per key decides survival)."""
+    gtid, op, uid, val = [], [], [], []
+    for i in range(n):
+        k = (i * 13 + seed) % 60
+        gtid.append(i + 1)
+        uid.append(k)
+        if i % 11 == 3:
+            op.append("delete")
+            val.append("")
+        elif i % 3 == 1:
+            op.append("update")
+            val.append(f"v{i}")
+        else:
+            op.append("insert")
+            val.append(f"v{i}")
+    return pa.table(
+        {
+            "gtid": pa.array(gtid, pa.int64()),
+            "seq_in_txn": pa.array([0] * n, pa.int32()),
+            "op": pa.array(op, pa.string()),
+            "user_id": pa.array(uid, pa.int64()),
+            "value": pa.array(val, pa.string()),
+        }
+    )
+
+
+def _expected_string_state(tab: pa.Table) -> dict:
+    """Fold SET/DEL in gtid order (rows are already gtid-sorted)."""
+    state = {}
+    for r in tab.to_pylist():
+        key = f"u:{r['user_id']}"
+        if r["op"] == "delete":
+            state.pop(key, None)
+        else:
+            state[key] = r["value"]
+    return state
+
+
+_PLAN = RedisPlan(
+    RedisConfig(structure="string", key_prefix="u:", key_column="user_id"),
+    pk_columns=("user_id",),
+)
+
+
+def _resp_frames(tab: pa.Table) -> pa.Table:
+    return redis_resp_stream(_PLAN, tab, value_col="value")
+
+
+def _resp_dataset_fn(tab: pa.Table):
+    def fn(from_gtid: int):
+        filtered = tab.filter(pc.greater(tab.column("gtid"), from_gtid))
+        return ray.data.from_arrow(filtered).map_batches(
+            _resp_frames, batch_format="pyarrow"
+        )
+
+    return fn
+
+
+def _snapshot_strings(server) -> dict:
+    return {k: v for k, (typ, v) in server.snapshot().items() if typ == "string"}
+
+
+def test_resp_live_delivery_happy_path(tmp_path):
+    tab = _change_table()
+    server = LoopbackRespServer().start()
+    try:
+        loop = LiveSinkLoop(
+            RespEndpoint(server.address),
+            FilePositionStore(str(tmp_path / "pos.json")),
+            pos_save_every=3,
+        )
+        metrics = loop.run(
+            frame_stream(_resp_dataset_fn(tab), frame_col="resp", batch_size=64)
+        )
+        assert _snapshot_strings(server) == _expected_string_state(tab)
+        assert metrics["position"] == 400
+        assert metrics["frames_delivered"] == 400
+        assert metrics["consume_errors"] == 0
+        # final position persisted → a fresh loop replays nothing
+        metrics2 = LiveSinkLoop(
+            RespEndpoint(server.address),
+            FilePositionStore(str(tmp_path / "pos.json")),
+        ).run(frame_stream(_resp_dataset_fn(tab), frame_col="resp"))
+        assert metrics2["frames_delivered"] == 0
+    finally:
+        server.stop()
+
+
+def test_resp_kill_mid_stream_converges_identically(tmp_path):
+    tab = _change_table()
+    # oracle: an uninterrupted run against a pristine server
+    oracle = LoopbackRespServer().start()
+    try:
+        LiveSinkLoop(
+            RespEndpoint(oracle.address),
+            FilePositionStore(str(tmp_path / "oracle.json")),
+        ).run(frame_stream(_resp_dataset_fn(tab), frame_col="resp", batch_size=32))
+        oracle_state = _snapshot_strings(oracle)
+    finally:
+        oracle.stop()
+
+    server = LoopbackRespServer().start()
+    try:
+        # 32-frame batches are 33 commands each (PING barrier); dying at
+        # command 170 lands mid-batch-6 with batch 5 acknowledged but
+        # NOT yet saved (pos_save_every=2 → last save after batch 4), so
+        # recovery must redeliver batch 5 — real at-least-once overlap
+        server.fail_after(170)
+        healed = threading.Event()
+
+        def sleep_then_heal(dt):
+            # the ping loop's sleep: let two pings fail, then heal
+            if not healed.is_set() and loop.metrics["pings_failed"] >= 2:
+                server.heal()
+                healed.set()
+
+        loop = LiveSinkLoop(
+            RespEndpoint(server.address),
+            FilePositionStore(str(tmp_path / "pos.json")),
+            pos_save_every=2,
+            ping_interval=0.0,
+            sleep=sleep_then_heal,
+        )
+        metrics = loop.run(
+            frame_stream(_resp_dataset_fn(tab), frame_col="resp", batch_size=32)
+        )
+        # pause/ping/resume actually happened
+        assert metrics["consume_errors"] >= 1
+        assert metrics["pings_failed"] >= 2
+        assert metrics["reconnects"] >= 1
+        # at-least-once: the unacknowledged tail was redelivered
+        assert metrics["frames_delivered"] > 400
+        assert metrics["position"] == 400
+        # and the converged state is identical to the uninterrupted run
+        assert _snapshot_strings(server) == oracle_state == _expected_string_state(tab)
+    finally:
+        server.stop()
+
+
+def test_resp_resume_from_checkpoint_across_processes(tmp_path):
+    """A crash between runs (new LiveSinkLoop over the same position
+    file) resumes where the last save left off — no loss."""
+    tab = _change_table()
+    server = LoopbackRespServer().start()
+    try:
+        store = FilePositionStore(str(tmp_path / "pos.json"))
+        # first driver dies after the sink fails and never heals in time
+        server.fail_after(100)
+        loop1 = LiveSinkLoop(
+            RespEndpoint(server.address), store,
+            pos_save_every=2, ping_interval=0.0, max_pings=3,
+            sleep=lambda dt: None,
+        )
+        with pytest.raises(SinkError):
+            loop1.run(
+                frame_stream(_resp_dataset_fn(tab), frame_col="resp", batch_size=32)
+            )
+        saved = store.load()
+        assert 0 < saved < 400  # some progress was checkpointed
+        # takeover driver: sink healed, fresh loop resumes from the file
+        server.heal()
+        metrics = LiveSinkLoop(RespEndpoint(server.address), store).run(
+            frame_stream(_resp_dataset_fn(tab), frame_col="resp", batch_size=32)
+        )
+        assert metrics["position"] == 400
+        # only the unacknowledged tail was replayed
+        assert metrics["frames_delivered"] == 400 - saved
+        assert _snapshot_strings(server) == _expected_string_state(tab)
+    finally:
+        server.stop()
+
+
+def test_resp_error_reply_fails_the_batch():
+    """-WRONGTYPE / -ERR anywhere in the pipeline fails the whole batch
+    (redis.go:269-275: one Exec error per pipeline)."""
+    server = LoopbackRespServer().start()
+    try:
+        ep = RespEndpoint(server.address)
+        ep.connect()
+        ep.consume([b"*3\r\n$4\r\nHSET\r\n$1\r\nk\r\n$1\r\nf\r\n"])  # malformed arity
+    except Exception:
+        pass
+    finally:
+        server.stop()
+    server = LoopbackRespServer().start()
+    try:
+        ep = RespEndpoint(server.address)
+        ep.connect()
+        ep.consume([b"*3\r\n$3\r\nSET\r\n$1\r\nk\r\n$1\r\nv\r\n"])
+        with pytest.raises(SinkError):
+            # k holds a string; HSET against it is a WRONGTYPE error
+            ep.consume(
+                [b"*4\r\n$4\r\nHSET\r\n$1\r\nk\r\n$1\r\nf\r\n$1\r\nv\r\n"]
+            )
+        ep.close()
+    finally:
+        server.stop()
+
+
+def _es_ops(tab: pa.Table) -> pa.Table:
+    ids = pc.cast(tab.column("user_id"), pa.string())
+    body = pc.binary_join_element_wise(
+        '{"user_id":', ids, ',"value":"', tab.column("value"), '"}', ""
+    )
+    return pa.table(
+        {
+            "gtid": tab.column("gtid"),
+            "es_index": pa.array(["events"] * tab.num_rows, pa.string()),
+            "es_type": pa.array(["_doc"] * tab.num_rows, pa.string()),
+            "id": ids,
+            "action": tab.column("op"),
+            "body": body,
+        }
+    )
+
+
+def _es_frames(tab: pa.Table) -> pa.Table:
+    ops = _es_ops(tab)
+    nd = es_bulk_ndjson(ops, include_type=False)
+    return pa.table(
+        {"gtid": ops.column("gtid"), "ndjson": nd.column("ndjson")}
+    )
+
+
+def _es_dataset_fn(tab: pa.Table):
+    def fn(from_gtid: int):
+        filtered = tab.filter(pc.greater(tab.column("gtid"), from_gtid))
+        return ray.data.from_arrow(filtered).map_batches(
+            _es_frames, batch_format="pyarrow"
+        )
+
+    return fn
+
+
+def _expected_docs(tab: pa.Table) -> dict:
+    docs = {}
+    for r in tab.to_pylist():
+        doc_id = str(r["user_id"])
+        if r["op"] == "delete":
+            docs.pop(doc_id, None)
+        else:
+            docs[doc_id] = {"user_id": r["user_id"], "value": r["value"]}
+    return docs
+
+
+def test_http_bulk_live_delivery_and_recovery(tmp_path):
+    tab = _change_table(n=300, seed=11)
+    server = LoopbackHttpBulkServer().start()
+    try:
+        # HTTP faults tick per REQUEST (connect-ping is request 1, then
+        # one POST per batch): dying at request 5 = mid-stream, after
+        # three acknowledged 32-frame batches with only two saved
+        server.fail_after(5)
+        healed = threading.Event()
+
+        def sleep_then_heal(dt):
+            if not healed.is_set() and loop.metrics["pings_failed"] >= 1:
+                server.heal()
+                healed.set()
+
+        loop = LiveSinkLoop(
+            HttpBulkEndpoint(server.address),
+            FilePositionStore(str(tmp_path / "pos.json")),
+            pos_save_every=2,
+            ping_interval=0.0,
+            sleep=sleep_then_heal,
+        )
+        metrics = loop.run(
+            frame_stream(_es_dataset_fn(tab), frame_col="ndjson", batch_size=32)
+        )
+        assert metrics["consume_errors"] >= 1
+        assert metrics["reconnects"] >= 1
+        assert metrics["position"] == 300
+        assert server.snapshot() == _expected_docs(tab)
+    finally:
+        server.stop()
+
+
+def test_http_bulk_rejects_errors_response():
+    server = LoopbackHttpBulkServer().start()
+    try:
+        ep = HttpBulkEndpoint(server.address)
+        ep.connect()
+        with pytest.raises(SinkError):
+            ep.consume([b'{"frobnicate":{"_id":"1"}}\n'])
+    finally:
+        server.stop()
