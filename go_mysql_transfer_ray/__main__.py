@@ -78,6 +78,28 @@ def cmd_replay(args) -> dict:
     return m
 
 
+def cmd_cluster(args) -> dict:
+    """Cluster mode (main.go -stderr + cluster config path): contend on
+    the lake's lease, replay as the elected leader, stand by otherwise
+    (service/cluster_service.go:43-61)."""
+    import socket
+
+    from .pipelines.cluster import replay_as_cluster_node
+
+    node = args.node or f"{socket.gethostname()}:{os.getpid()}"
+    ray = _ray_session(args.num_cpus)
+    m = replay_as_cluster_node(
+        args.events,
+        args.out,
+        node,
+        ttl=args.ttl,
+        max_wait=args.max_wait,
+        num_partitions=args.num_partitions,
+    )
+    ray.shutdown()
+    return m
+
+
 def cmd_tail(args) -> dict:
     """Default reference mode: incremental sync — apply a new event batch
     on top of the existing lake (main.go:92-136 steady state)."""
@@ -211,6 +233,17 @@ def main(argv=None) -> None:
     r.add_argument("--no-resume", action="store_true")
     r.add_argument("--base-dir", default=None)
     r.set_defaults(fn=cmd_replay)
+
+    cl = sub.add_parser(
+        "cluster", help="replay as an elected cluster node (lease on the lake)"
+    )
+    cl.add_argument("--events", required=True)
+    cl.add_argument("--out", required=True)
+    cl.add_argument("--node", default=None)
+    cl.add_argument("--ttl", type=float, default=10.0)
+    cl.add_argument("--max-wait", type=float, default=300.0)
+    cl.add_argument("--num-partitions", type=int, default=64)
+    cl.set_defaults(fn=cmd_cluster)
 
     tl = sub.add_parser("tail", help="incremental sync: new batch onto the lake")
     tl.add_argument("--events", required=True)

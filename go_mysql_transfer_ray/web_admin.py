@@ -54,10 +54,14 @@ class AdminServer:
         host: str = "127.0.0.1",
         port: int = 0,
         destination: str = "lake",
+        election=None,
     ):
         self.out_dir = out_dir
         self.action_counts = dict(action_counts or {})
         self.destination = destination
+        # cluster mode (router.go:105-110): a LeaseElection handle adds
+        # the isLeader/leader fields and the Prometheus leader gauge
+        self.election = election
         self.boot_time = time.strftime("%Y-%m-%d %H:%M")
         self._host, self._port = host, port
         self._httpd: "ThreadingHTTPServer | None" = None
@@ -92,7 +96,7 @@ class AdminServer:
             action: sum(v for (t, a), v in self.action_counts.items() if a == action)
             for action in ("insert", "update", "delete")
         }
-        return {
+        h = {
             "destName": self.destination,
             "destAddr": self.out_dir,
             "destState": 1 if pos["partitions"] else 0,
@@ -105,14 +109,23 @@ class AdminServer:
             "insertAmounts": amounts["insert"],
             "updateAmounts": amounts["update"],
             "deleteAmounts": amounts["delete"],
-            "isCluster": False,
+            "isCluster": self.election is not None,
         }
+        if self.election is not None:
+            # router.go:105-110: isLeader / leader / currentNode
+            h["isLeader"] = self.election.is_leader()
+            h["leader"] = self.election.leader()
+            h["currentNode"] = self.election.node_id
+        return h
 
     def _metrics_text(self) -> str:
         pos = self._position()
+        leader = (
+            1 if self.election is None or self.election.is_leader() else 0
+        )
         return render_exposition(
             self.action_counts,
-            leader_state=1,
+            leader_state=leader,
             destination_state=1 if pos["partitions"] else 0,
             delay=0,
         )

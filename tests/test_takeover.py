@@ -151,3 +151,169 @@ def test_node_mode_replay_reaps_stale_then_converges(tmp_path, ray_session):
     with pytest.raises(ValueError):  # reaped by the replay's sweep
         ray.get_actor("gmtbuf-deadrun-node0", namespace=shfl._BUF_NAMESPACE)
     assert_state_equal(cdc.lake_table(out), oracle.replay_full(generate(cfg).table))
+
+
+# ---------------------------------------------------------------------------
+# lease-based leader election (cluster mode): two CONTENDING drivers
+
+
+def test_lease_cas_exactly_one_winner(tmp_path):
+    """N contenders campaigning concurrently for a vacant lease: the
+    atomic create admits exactly one (etcd Campaign semantics)."""
+    import threading
+
+    from go_mysql_transfer_ray.state.election import LeaseElection
+
+    out = str(tmp_path / "lake")
+    os.makedirs(os.path.join(out, "_manifests"), exist_ok=True)
+    winners = []
+    barrier = threading.Barrier(8)
+
+    def contend(i):
+        e = LeaseElection(out, f"node-{i}", ttl=30.0)
+        barrier.wait()
+        if e.campaign():
+            winners.append((i, e.fencing_token))
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(winners) == 1 and winners[0][1] == 1
+
+
+def test_lease_renew_resign_and_expiry(tmp_path):
+    from go_mysql_transfer_ray.state.election import LeaseElection
+
+    out = str(tmp_path / "lake")
+    os.makedirs(os.path.join(out, "_manifests"), exist_ok=True)
+    now = {"t": 1000.0}
+    clk = lambda: now["t"]  # noqa: E731
+    a = LeaseElection(out, "a", ttl=10.0, clock=clk)
+    b = LeaseElection(out, "b", ttl=10.0, clock=clk)
+
+    assert a.campaign() and a.is_leader() and a.fencing_token == 1
+    assert not b.campaign() and b.leader() == "a"
+    # renewal extends the lease past the original expiry
+    now["t"] += 8
+    assert a.renew()
+    now["t"] += 8  # 16 > ttl from acquisition, but only 8 since renew
+    assert a.is_leader() and not b.campaign()
+    # expiry without renewal → standby takes over with a HIGHER epoch
+    now["t"] += 11
+    assert not a.is_leader()
+    assert b.campaign() and b.fencing_token == 2
+    # the deposed leader's next renew reports session-done
+    assert not a.renew() and a.fencing_token == 0
+    # resign hands over immediately, no TTL wait
+    b.resign()
+    assert b.leader() == ""
+    assert a.campaign() and a.fencing_token == 3
+
+
+def test_contending_drivers_serialize_then_fence(tmp_path, ray_session):
+    """Two drivers started concurrently on one lake: the lease admits
+    exactly one replayer; the loser waits as a follower and, once the
+    winner resigns, replays as a pure fence (zero partitions rewritten).
+    This is cluster_service.go:43-61 with the lake as the shared store."""
+    import threading
+
+    from go_mysql_transfer_ray.pipelines.cluster import replay_as_cluster_node
+
+    cfg = BinlogConfig(num_keys=200, avg_events_per_key=3.0, delete_pct=10)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+    os.makedirs(os.path.join(out, "_manifests"), exist_ok=True)
+
+    results = {}
+    barrier = threading.Barrier(2)
+
+    def drive(node):
+        barrier.wait()
+        results[node] = replay_as_cluster_node(
+            events_dir, out, node, ttl=5.0, poll=0.05, num_partitions=8
+        )
+
+    threads = [
+        threading.Thread(target=drive, args=(f"driver-{i}",)) for i in (1, 2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    by_written = sorted(results.values(), key=lambda m: -m["parts_written"])
+    leader_run, standby_run = by_written
+    assert leader_run["parts_written"] == 8
+    assert standby_run["parts_written"] == 0 and standby_run["resumed"]
+    # the standby really waited for the lease, then held a later epoch
+    assert standby_run["waited_rounds"] >= 1
+    assert standby_run["epoch"] > leader_run["epoch"]
+    assert_state_equal(cdc.lake_table(out), oracle.replay_full(generate(cfg).table))
+
+
+def test_standby_takes_over_on_lease_expiry(tmp_path, ray_session):
+    """The leader CRASHES mid-replay (stops renewing, partitions half
+    written): the standby's campaign succeeds only after the TTL, gets a
+    higher fencing token, and its replay converges the lake."""
+    from go_mysql_transfer_ray.pipelines.cluster import replay_as_cluster_node
+    from go_mysql_transfer_ray.state.election import LeaseElection
+
+    cfg = BinlogConfig(num_keys=200, avg_events_per_key=3.0, delete_pct=10)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+    os.makedirs(os.path.join(out, "_manifests"), exist_ok=True)
+
+    # the doomed leader: acquires, "replays" partially (3 of 8 partitions
+    # missing, the takeover fixture), then dies without renew/resign
+    crashed = LeaseElection(out, "doomed", ttl=0.5)
+    assert crashed.campaign() and crashed.fencing_token == 1
+    cdc.replay(events_dir, out, num_partitions=8)
+    for p in (2, 5, 7):
+        shutil.rmtree(os.path.join(out, f"part={p:05d}"))
+        os.unlink(os.path.join(out, "_manifests", f"part-{p:05d}.json"))
+
+    # standby contends while the (dead) leader's lease is still live
+    standby = LeaseElection(out, "standby", ttl=5.0)
+    assert not standby.campaign()  # lease not yet expired
+    m = replay_as_cluster_node(
+        events_dir, out, "standby", ttl=5.0, poll=0.05, num_partitions=8
+    )
+    assert m["epoch"] == 2  # took over with a HIGHER fencing token
+    assert m["waited_rounds"] >= 1  # actually waited out the dead lease
+    assert m["parts_written"] == 3 and m["parts_skipped"] == 5
+    assert_state_equal(cdc.lake_table(out), oracle.replay_full(generate(cfg).table))
+
+
+def test_admin_dashboard_reports_cluster_fields(tmp_path):
+    """web_admin surfaces isCluster/isLeader/leader/currentNode
+    (router.go:105-110) and flips the Prometheus leader gauge."""
+    import json
+    import urllib.request
+
+    from go_mysql_transfer_ray.state.election import LeaseElection
+    from go_mysql_transfer_ray.web_admin import AdminServer
+
+    out = str(tmp_path / "lake")
+    os.makedirs(os.path.join(out, "_manifests"), exist_ok=True)
+    leader = LeaseElection(out, "n1", ttl=30.0)
+    follower = LeaseElection(out, "n2", ttl=30.0)
+    assert leader.campaign() and not follower.campaign()
+
+    srv = AdminServer(out, {}, election=follower).start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=5
+        ) as r:
+            dash = json.loads(r.read())
+        assert dash["isCluster"] is True
+        assert dash["isLeader"] is False
+        assert dash["leader"] == "n1" and dash["currentNode"] == "n2"
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/metrics", timeout=5
+        ) as r:
+            text = r.read().decode()
+        assert "transfer_leader_state 0" in text
+    finally:
+        srv.close()
