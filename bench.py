@@ -126,13 +126,13 @@ def warm_worker_pool(num_cpus: int) -> None:
     ).count()
 
 
-def _flagship(sf_dir: str) -> dict:
+def _flagship(sf_dir: str, cfg=None) -> dict:
     """CDC replay: synthetic binlog → converged lake table. Returns timing
     facts; event generation is cached and excluded from the measured span."""
     from go_mysql_transfer_ray.pipelines import cdc
     from go_mysql_transfer_ray.sources.binlog import materialize_events, read_meta
 
-    cfg = _bench_binlog_cfg(sf_dir, BENCH_SCALE)
+    cfg = cfg or _bench_binlog_cfg(sf_dir, BENCH_SCALE)
     events_dir = materialize_events(cfg, root=EVENT_ROOT, shards=64)
     n_events = read_meta(events_dir)["num_change_events"]
     # prime the OS file cache (untimed): measure steady-state engine
@@ -332,6 +332,113 @@ def run_flagship_only() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """SURVEY §5.5 skew leg: the flagship replay under hot-repo skew.
+
+    Two streams of the same key count: UNIFORM (no hot repo) and SKEWED
+    (repo 0's keys get 32× the events — with 35 repos that is ~48% of
+    the whole stream on one repo, the promised ~50% fixture).  Reports
+    per-event throughput for both and their ratio (skew efficiency —
+    the combiner bounds the hot keys' exchange contribution to one row
+    per block, so the ratio should stay ≥0.8), plus sha256 parity of a
+    skewed converged lake against the sequential oracle at a smaller
+    parity scale (the full bench stream would take minutes in the
+    pure-Python oracle; parity is scale-free, throughput is not)."""
+    import dataclasses
+    import hashlib
+
+    from go_mysql_transfer_ray import oracle
+    from go_mysql_transfer_ray.pipelines import cdc
+    from go_mysql_transfer_ray.sources.binlog import (
+        generate,
+        materialize_events,
+    )
+
+    from go_mysql_transfer_ray.sources import binlog as _bl
+
+    base = _bench_binlog_cfg(SF_DIR, BENCH_SCALE)
+    # repo ids are QUADRATIC in the key hash (binlog._key_attrs:142), so
+    # repo 0 holds ~17% of keys — multiplier 5 puts ~50% of all events
+    # on that one repo (the SURVEY §5.5 fixture)
+    skew = dataclasses.replace(base, hot_repos=1, hot_multiplier=5)
+    # equalize stream sizes so the throughput ratio compares the ENGINE
+    # under skew, not fixed overhead amortized over different volumes
+    u0 = dataclasses.replace(base, hot_repos=0, hot_multiplier=1)
+    scale_keys = _bl.stream_size(skew) / max(_bl.stream_size(u0), 1)
+    uniform = dataclasses.replace(
+        u0, num_keys=int(round(u0.num_keys * scale_keys))
+    )
+
+    # exact hot share of the skewed stream (evidence in the artifact)
+    keys = __import__("numpy").arange(skew.num_keys, dtype="int64")
+    counts = _bl._key_counts(skew, keys)
+    hot_share = float(
+        counts[_bl._key_attrs(skew, keys)[0] == 0].sum() / counts.sum()
+    )
+
+    warm_worker_pool(NUM_CPUS)
+    reps = int(os.environ.get("GRAFT_SUITE_REPS", "2"))
+    probes: dict[str, float] = {}
+    legs: dict[str, dict] = {}
+    for name, cfg in (("uniform", uniform), ("skew", skew)):
+        probes[name] = round(wait_healthy_phase(), 1)
+        runs = [_flagship(SF_DIR, cfg) for _ in range(reps)]
+        legs[name] = min(runs, key=lambda f: f["sec"])
+
+    tput = {n: legs[n]["events"] / legs[n]["sec"] for n in legs}
+    efficiency = tput["skew"] / tput["uniform"]
+
+    # parity: skewed stream converges to the sequential oracle's state
+    pcfg = dataclasses.replace(
+        skew, num_keys=max(20_000, skew.num_keys // 16)
+    )
+    events_dir = materialize_events(pcfg, root=EVENT_ROOT, shards=64)
+    out = os.path.join(LAKE_ROOT, f"skewpar-{pcfg.fingerprint()}-{os.getpid()}")
+    shutil.rmtree(out, ignore_errors=True)
+    cdc.replay(events_dir, out, num_partitions=max(64, NUM_CPUS * 2))
+    lake = cdc.lake_table(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+    extras = tuple(
+        c for c in lake.column_names if c not in oracle.BASE_ROW_COLUMNS
+    )
+    eng = {
+        oracle.composite_key(r["repo"], r["path"]): oracle.row_sha256(
+            r, extra_cols=extras
+        )
+        for r in lake.to_pylist()
+    }
+    ora = oracle.state_hashes(oracle.replay_full(generate(pcfg).table))
+
+    def _digest(hashes: dict) -> str:
+        joined = "\n".join(f"{k}:{hashes[k]}" for k in sorted(hashes))
+        return hashlib.sha256(joined.encode()).hexdigest()
+
+    eng_digest, ora_digest = _digest(eng), _digest(ora)
+    return {
+        "metric": "flagship CDC replay under ~50% hot-repo skew (SURVEY §5.5)",
+        "value": round(efficiency, 3),
+        "unit": "skew_efficiency",
+        "queries": {
+            "flagship_uniform_sec": round(legs["uniform"]["sec"], 3),
+            "flagship_skew_sec": round(legs["skew"]["sec"], 3),
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "events_uniform": legs["uniform"]["events"],
+        "events_skew": legs["skew"]["events"],
+        "hot_event_share": round(hot_share, 3),
+        "events_per_sec_uniform": round(tput["uniform"], 1),
+        "events_per_sec_skew": round(tput["skew"], 1),
+        "skew_efficiency": round(efficiency, 3),
+        "parity_keys": pcfg.num_keys,
+        "parity_rows": len(eng),
+        "parity_sha256_match": eng_digest == ora_digest,
+        "parity_digest": eng_digest,
+        "phase_probe_mbps": probes,
+    }
+
+
 def run_scaling(low: int, high: int, scale: int = 1,
                 runs_per_leg: "int | None" = None) -> dict:
     """Identical flagship job at two num_cpus levels in fresh processes.
@@ -450,6 +557,9 @@ def run_scaling(low: int, high: int, scale: int = 1,
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    # SURVEY §5.5 skew fixture: uniform-vs-~50%-hot-repo throughput ratio
+    # plus sequential-oracle sha256 parity of the skewed converged lake
+    ap.add_argument("--skew", action="store_true")
     ap.add_argument("--flagship-only", action="store_true")
     # per-NODE delta aggregation (stages/shuffle.BufferedDeltaWriter): the
     # documented 10^10-event adaptation — delta files scale with nodes,
@@ -480,9 +590,32 @@ def main() -> None:
             ignore_reinit_error=True,
         )
     try:
-        out = run_flagship_only() if args.flagship_only else run_suite()
+        if args.skew:
+            out = run_skew()
+        elif args.flagship_only:
+            out = run_flagship_only()
+        else:
+            out = run_suite()
+            if os.environ.get("GRAFT_SKIP_SKEW") != "1":
+                # SURVEY §5.5 skew leg rides the default suite so the
+                # per-round BENCH artifact carries it
+                sk = run_skew()
+                out["skew"] = {
+                    k: sk[k]
+                    for k in (
+                        "events_per_sec_uniform",
+                        "events_per_sec_skew",
+                        "skew_efficiency",
+                        "parity_rows",
+                        "parity_sha256_match",
+                        "phase_probe_mbps",
+                    )
+                }
     finally:
         ray.shutdown()
+    if args.skew:
+        print(json.dumps(out))
+        return
 
     if not args.flagship_only and os.environ.get("GRAFT_SKIP_SCALING") != "1":
         # driver-verified scaling legs (round-1 verdict item 10): rerun the
