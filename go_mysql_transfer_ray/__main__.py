@@ -184,15 +184,52 @@ def cmd_run(args) -> dict:
     return result
 
 
+def _daemonize(log_file: str) -> bool:
+    """Classic double-fork detach (the reference runs as a service via
+    its packaging; ``-daemon`` is the CLI analogue).  Returns True in
+    the parent (which should exit), False in the detached child whose
+    stdio is redirected to ``log_file``."""
+    if os.fork() > 0:
+        return True
+    os.setsid()
+    if os.fork() > 0:
+        os._exit(0)
+    import sys as _sys
+
+    _sys.stdout.flush()
+    _sys.stderr.flush()
+    fd = os.open(log_file, os.O_WRONLY | os.O_CREAT | os.O_APPEND, 0o644)
+    null = os.open(os.devnull, os.O_RDONLY)
+    os.dup2(null, 0)
+    os.dup2(fd, 1)
+    os.dup2(fd, 2)
+    os.close(fd)
+    os.close(null)
+    return False
+
+
 def cmd_serve(args) -> dict:
     """Web admin (router.go:23-62 + the promhttp exporter): serve /,
     /metrics, /position over HTTP for an existing lake.  Blocks until
-    interrupted."""
+    interrupted; ``--daemon`` detaches and records {pid, port} in
+    ``--state-file`` (the service-mode run the reference deploys as)."""
     from .web_admin import AdminServer
 
+    if args.daemon:
+        if _daemonize(args.log_file):
+            print(json.dumps({"daemon": True, "state_file": args.state_file,
+                              "log_file": args.log_file}))
+            return None
     srv = AdminServer(args.out, port=args.port).start()
-    info = {"listening": f"http://127.0.0.1:{srv.port}", "out": args.out}
-    print(json.dumps(info))
+    info = {"listening": f"http://127.0.0.1:{srv.port}", "out": args.out,
+            "pid": os.getpid()}
+    if args.daemon:
+        tmp = f"{args.state_file}.tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump({"pid": os.getpid(), "port": srv.port,
+                       "out": args.out}, f)
+        os.replace(tmp, args.state_file)
+    print(json.dumps(info), flush=True)
     try:
         import time as _t
 
@@ -200,6 +237,8 @@ def cmd_serve(args) -> dict:
             _t.sleep(3600)
     except KeyboardInterrupt:
         srv.close()
+    if args.daemon:
+        os._exit(0)  # detached child: never fall back into main()
     return None  # already printed — main() must not print twice
 
 
@@ -270,6 +309,10 @@ def main(argv=None) -> None:
     sv = sub.add_parser("serve", help="web admin: /, /metrics, /position")
     sv.add_argument("--out", required=True)
     sv.add_argument("--port", type=int, default=8060)
+    sv.add_argument("--daemon", action="store_true",
+                    help="detach; record {pid, port} in --state-file")
+    sv.add_argument("--state-file", default="/tmp/gmt_ray_serve.json")
+    sv.add_argument("--log-file", default="/tmp/gmt_ray_serve.log")
     sv.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -100,6 +100,9 @@ class AppConfig:
     # failing startup — config.go SkipNoPkTable,
     # transfer_service.go:253-257
     skip_no_pk_table: bool = False
+    # log directory (config.go:243-252: ``logger: store:`` in app.yml,
+    # defaulting to <data_dir>/log when a data_dir is configured)
+    logger_store: str = ""
 
     def expand(self, tables: "list[str]") -> "dict[str, AppRule]":
         """Expand wildcard rules against the stream's concrete tables —
@@ -240,6 +243,14 @@ def load_app(src: str, *, base_dir: "str | None" = None) -> AppConfig:
         raise ValueError("empty rule not allowed")
     rules = [_parse_rule(r, base_dir, target) for r in raw_rules]
 
+    data_dir = str(doc.get("data_dir") or "")
+    logger = doc.get("logger") or {}
+    logger_store = (
+        str(logger.get("store") or "") if isinstance(logger, dict) else ""
+    )
+    if not logger_store and data_dir:
+        logger_store = os.path.join(data_dir, "log")
+
     return AppConfig(
         target=target,
         rules=rules,
@@ -249,13 +260,33 @@ def load_app(src: str, *, base_dir: "str | None" = None) -> AppConfig:
             doc.get("flush_bulk_interval") or _DEF_FLUSH_INTERVAL
         ),
         maxprocs=int(doc.get("maxprocs") or 0),
-        data_dir=str(doc.get("data_dir") or ""),
+        data_dir=data_dir,
         enable_exporter=_bool(doc.get("enable_exporter", False)),
         exporter_port=int(doc.get("exporter_addr") or _DEF_EXPORTER_PORT),
         enable_web_admin=_bool(doc.get("enable_web_admin", False)),
         web_admin_port=int(doc.get("web_admin_port") or _DEF_WEB_ADMIN_PORT),
         skip_no_pk_table=_bool(doc.get("skip_no_pk_table", False)),
+        logger_store=logger_store,
     )
+
+
+def setup_logging(cfg: AppConfig) -> "str | None":
+    """Wire the stdlib root logger to the configured log file
+    (util/logs setup the reference performs from LoggerConfig at
+    startup).  Returns the log path, or None when no store is
+    configured (console logging, the reference's default)."""
+    import logging
+
+    if not cfg.logger_store:
+        return None
+    os.makedirs(cfg.logger_store, exist_ok=True)
+    path = os.path.join(cfg.logger_store, "app.log")
+    handler = logging.FileHandler(path, encoding="utf-8")
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s")
+    )
+    logging.getLogger().addHandler(handler)
+    return path
 
 
 # ---------------------------------------------------------------------------
