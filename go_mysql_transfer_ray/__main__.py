@@ -208,6 +208,42 @@ def _daemonize(log_file: str) -> bool:
     return False
 
 
+def cmd_live(args) -> dict:
+    """Live redis delivery (the reference's daemon loop): app.yml rules →
+    exact RESP frames → a real socket, resuming from the per-table
+    position files on sink failure.  ``--loopback`` self-hosts an
+    in-process RESP sink (no external Redis in this sandbox); ``--addr``
+    points at any RESP v2 server."""
+    from .config import load_app, run_app_live
+
+    app = load_app(args.config)
+    server = None
+    if args.loopback:
+        from .functions.loopback import LoopbackRespServer
+
+        server = LoopbackRespServer().start()
+        address = server.address
+    elif args.addr:
+        host, _, port = args.addr.rpartition(":")
+        address = (host or "127.0.0.1", int(port))
+    else:
+        raise SystemExit("live needs --addr host:port or --loopback")
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        m = run_app_live(
+            app, args.events, address,
+            position_dir=args.position_dir, batch_size=args.batch_size,
+        )
+        if server is not None:
+            m["loopback_keys"] = len(server.snapshot())
+    finally:
+        ray.shutdown()
+        if server is not None:
+            server.stop()
+    return m
+
+
 def cmd_serve(args) -> dict:
     """Web admin (router.go:23-62 + the promhttp exporter): serve /,
     /metrics, /position over HTTP for an existing lake.  Blocks until
@@ -305,6 +341,21 @@ def main(argv=None) -> None:
     rn.add_argument("--out", required=True)
     rn.add_argument("--num-partitions", type=int, default=16)
     rn.set_defaults(fn=cmd_run)
+
+    lv = sub.add_parser(
+        "live",
+        help="live redis delivery: exact RESP frames to a socket, "
+             "pause/ping/resume from the position files",
+    )
+    lv.add_argument("--config", required=True)
+    lv.add_argument("--events", required=True)
+    lv.add_argument("--addr", default=None,
+                    help="host:port of a RESP v2 server (e.g. a Redis)")
+    lv.add_argument("--loopback", action="store_true",
+                    help="self-host an in-process RESP loopback sink")
+    lv.add_argument("--position-dir", default="/tmp/gmt_ray_live_pos")
+    lv.add_argument("--batch-size", type=int, default=2048)
+    lv.set_defaults(fn=cmd_live)
 
     sv = sub.add_parser("serve", help="web admin: /, /metrics, /position")
     sv.add_argument("--out", required=True)

@@ -573,3 +573,100 @@ def run_app(
         )
         results["tables"][tbl] = {"path": path}
     return results
+
+
+def run_app_live(
+    app: AppConfig,
+    events_dir: str,
+    address: "tuple[str, int]",
+    *,
+    position_dir: str,
+    batch_size: int = 2048,
+    pos_save_every: int = 4,
+    ping_interval: float = 1.0,
+    max_pings: int = 600,
+) -> dict:
+    """target=redis LIVE mode — the reference's actual daemon loop.
+
+    Instead of materializing the converged state relation (``run_app``),
+    deliver the EXACT RESP frames of every configured redis rule to a
+    real socket at ``address`` (any RESP v2 server: a production Redis,
+    or ``functions.loopback.LoopbackRespServer`` for tests) through
+    ``LiveSinkLoop``: consume error → pause → ping → resume from the
+    per-table position file under ``position_dir``
+    (service/handler.go:173-181, transfer_service.go:328-354).
+
+    Tables run one loop each with independent positions — per-key
+    ordering (the only ordering redis.go's keyed commands need) is
+    table-scoped, so per-table streams deliver the same final keyspace
+    as the reference's single interleaved consumer.  Returns per-table
+    LiveSinkLoop metrics."""
+    import pyarrow.compute as pc
+
+    from .functions.wire import redis_resp_stream
+    from .pipelines import cdc
+    from .pipelines.live_sink import (
+        FilePositionStore,
+        LiveSinkLoop,
+        RespEndpoint,
+        frame_stream,
+    )
+    from .stages.redis_state import RedisPlan
+
+    if app.target != "redis":
+        raise ValueError(f"live mode is redis-only (target={app.target!r})")
+    tables = cdc._stream_tables(events_dir)
+    matched = {t: r for t, r in app.expand(tables).items() if t in tables}
+    if not matched:
+        raise ValueError(f"no rule matches stream tables {tables}")
+    facts = cdc.stream_facts(events_dir)
+    os.makedirs(position_dir, exist_ok=True)
+    results: dict = {"target": "redis-live", "tables": {}}
+
+    for tbl, r in matched.items():
+        if r.lua_script:
+            raise ValueError(
+                "live mode covers the rule path; Lua rules replay via "
+                "run_app (their RET protocol is stated there)"
+            )
+        plan = RedisPlan(r.redis, TABLE_PKS.get(tbl, ("repo", "path")))
+        want_old = r.redis.structure in ("set", "sortedset", "list")
+        specs_cache: dict = {}
+
+        def dataset_fn(from_gtid: int, tbl=tbl, r=r, plan=plan,
+                       want_old=want_old, specs_cache=specs_cache):
+            ds, ddl_events = _decoded(
+                events_dir, tbl, keep_before=want_old, facts=facts
+            )
+            specs_cache.setdefault("s", _table_specs(tbl, ddl_events))
+
+            def prune(t: pa.Table) -> pa.Table:
+                return t.filter(pc.greater(t.column("gtid"), from_gtid))
+
+            ds = ds.map_batches(prune, batch_format="pyarrow")
+            ds = ds.map_batches(
+                _RedisValueEncoder,
+                fn_constructor_args=(r.rule_config, specs_cache["s"], want_old),
+                concurrency=(1, 4),
+                batch_format="pyarrow",
+            )
+
+            def frames(t: pa.Table) -> pa.Table:
+                return redis_resp_stream(
+                    plan, t, value_col="val",
+                    old_value_col="old_val" if want_old else None,
+                )
+
+            return ds.map_batches(frames, batch_format="pyarrow")
+
+        loop = LiveSinkLoop(
+            RespEndpoint(address),
+            FilePositionStore(os.path.join(position_dir, f"{tbl}.json")),
+            pos_save_every=pos_save_every,
+            ping_interval=ping_interval,
+            max_pings=max_pings,
+        )
+        results["tables"][tbl] = loop.run(
+            frame_stream(dataset_fn, frame_col="resp", batch_size=batch_size)
+        )
+    return results

@@ -1,0 +1,194 @@
+"""run_app_live (the ``live`` CLI mode): app.yml redis rules → exact
+RESP frames over a real loopback socket — the reference's actual daemon
+delivery loop (service/handler.go:173-181, transfer_service.go:328-354).
+
+The decisive property: the live keyspace must converge to exactly the
+state relation run_app materializes for the same rules, and killing the
+sink mid-stream must not change that."""
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import threading
+
+import pyarrow.parquet as pq
+import pytest
+
+from go_mysql_transfer_ray.config import load_app, run_app, run_app_live
+from go_mysql_transfer_ray.functions.loopback import LoopbackRespServer
+from go_mysql_transfer_ray.sources.binlog import BinlogConfig, materialize_events
+
+ROOT = "/tmp/gmt_test_config_live"
+
+APP_STRING = (
+    "target: redis\n"
+    "rule:\n"
+    "  -\n"
+    "    table: repos\n"
+    "    redis_structure: string\n"
+    "    redis_key_prefix: 'r:'\n"
+)
+
+APP_HASH = (
+    "target: redis\n"
+    "rule:\n"
+    "  -\n"
+    "    table: repos\n"
+    "    redis_structure: hash\n"
+    "    redis_key_value: repo_hash\n"
+    "    redis_hash_field_prefix: 'f_'\n"
+)
+
+
+@pytest.fixture(scope="module")
+def events(ray_session):
+    return materialize_events(
+        BinlogConfig(num_keys=120, avg_events_per_key=3.0, delete_pct=12, seed=11),
+        root=os.path.join(ROOT, "events"),
+        shards=2,
+    )
+
+
+def _state_table(app_yaml: str, events_dir: str, tag: str):
+    """run_app's materialized redis state — the convergence oracle."""
+    out = os.path.join(ROOT, f"state_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_app(load_app(app_yaml), events_dir, out, num_partitions=8)
+    return pq.read_table(res["tables"]["repos"]["path"])
+
+
+def _live(app_yaml: str, events_dir: str, server, tag: str, **kw):
+    pos = os.path.join(ROOT, f"pos_{tag}")
+    shutil.rmtree(pos, ignore_errors=True)
+    return run_app_live(
+        load_app(app_yaml), events_dir, server.address,
+        position_dir=pos, batch_size=256, **kw,
+    )
+
+
+def test_live_string_converges_to_run_app_state(events):
+    server = LoopbackRespServer().start()
+    try:
+        m = _live(APP_STRING, events, server, "string")
+        live = {
+            k: v for k, (typ, v) in server.snapshot().items() if typ == "string"
+        }
+    finally:
+        server.stop()
+    oracle_tab = _state_table(APP_STRING, events, "string")
+    oracle = dict(
+        zip(
+            oracle_tab.column("redis_key").to_pylist(),
+            oracle_tab.column("value").to_pylist(),
+        )
+    )
+    assert live == oracle and len(live) > 50
+    tm = m["tables"]["repos"]
+    assert tm["consume_errors"] == 0 and tm["frames_delivered"] > 0
+
+
+def test_live_hash_converges_to_run_app_state(events):
+    server = LoopbackRespServer().start()
+    try:
+        _live(APP_HASH, events, server, "hash")
+        snap = server.snapshot()
+    finally:
+        server.stop()
+    assert set(snap) == {"repo_hash"} and snap["repo_hash"][0] == "hash"
+    oracle_tab = _state_table(APP_HASH, events, "hash")
+    oracle = dict(
+        zip(
+            oracle_tab.column("field").to_pylist(),
+            oracle_tab.column("value").to_pylist(),
+        )
+    )
+    assert snap["repo_hash"][1] == oracle and len(oracle) > 50
+
+
+def test_live_kill_mid_stream_converges_identically(events):
+    """Sink dies mid-delivery → pause → ping → resume from the position
+    file; the healed keyspace is identical to an uninterrupted run's."""
+    server = LoopbackRespServer().start()
+    try:
+        server.fail_after(120)
+        stop = threading.Event()
+
+        def heal_once_down():
+            # heal only after the injected fault actually fired —
+            # healing earlier would clear the pending fail_after counter
+            while not stop.is_set() and not server._fault.is_down():
+                stop.wait(0.02)
+            stop.wait(0.3)
+            server.heal()
+
+        healer = threading.Thread(target=heal_once_down, daemon=True)
+        healer.start()
+        try:
+            m = _live(
+                APP_STRING, events, server, "kill",
+                ping_interval=0.1, max_pings=300,
+            )
+        finally:
+            stop.set()
+        live = {
+            k: v for k, (typ, v) in server.snapshot().items() if typ == "string"
+        }
+        tm = m["tables"]["repos"]
+        assert tm["consume_errors"] >= 1 and tm["reconnects"] >= 1
+    finally:
+        server.stop()
+    oracle_tab = _state_table(APP_STRING, events, "kill")
+    oracle = dict(
+        zip(
+            oracle_tab.column("redis_key").to_pylist(),
+            oracle_tab.column("value").to_pylist(),
+        )
+    )
+    assert live == oracle
+
+
+def test_live_resume_skips_delivered_prefix(events):
+    """A second run over the same position dir replays nothing — the
+    pruned re-read starts after the saved gtid (StartUp analogue)."""
+    server = LoopbackRespServer().start()
+    try:
+        m1 = _live(APP_STRING, events, server, "resume")
+        pos_dir = os.path.join(ROOT, "pos_resume")
+        m2 = run_app_live(
+            load_app(APP_STRING), events, server.address,
+            position_dir=pos_dir, batch_size=256,
+        )
+    finally:
+        server.stop()
+    assert m1["tables"]["repos"]["frames_delivered"] > 0
+    assert m2["tables"]["repos"]["frames_delivered"] == 0
+
+
+def test_live_rejects_non_redis_target(events):
+    with pytest.raises(ValueError, match="redis-only"):
+        run_app_live(
+            load_app("target: kafka\nrule:\n  -\n    table: repos\n"),
+            events, ("127.0.0.1", 1), position_dir=os.path.join(ROOT, "bad"),
+        )
+
+
+def test_cli_live_loopback(events):
+    """``live --loopback`` end-to-end in a fresh process (own Ray
+    session, per the CLI contract)."""
+    cfg = os.path.join(ROOT, "app_cli.yml")
+    with open(cfg, "w", encoding="utf-8") as f:
+        f.write(APP_STRING)
+    shutil.rmtree(os.path.join(ROOT, "pos_cli"), ignore_errors=True)
+    r = subprocess.run(
+        [sys.executable, "-m", "go_mysql_transfer_ray", "--num-cpus", "4",
+         "live", "--config", cfg, "--events", events, "--loopback",
+         "--position-dir", os.path.join(ROOT, "pos_cli")],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["target"] == "redis-live"
+    assert out["loopback_keys"] > 50
+    assert out["tables"]["repos"]["consume_errors"] == 0
