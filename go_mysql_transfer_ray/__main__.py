@@ -209,19 +209,28 @@ def _daemonize(log_file: str) -> bool:
 
 
 def cmd_live(args) -> dict:
-    """Live redis delivery (the reference's daemon loop): app.yml rules →
-    exact RESP frames → a real socket, resuming from the per-table
-    position files on sink failure.  ``--loopback`` self-hosts an
-    in-process RESP sink (no external Redis in this sandbox); ``--addr``
-    points at any RESP v2 server."""
+    """Live delivery (the reference's daemon loop): app.yml rules →
+    exact wire frames → a real socket, resuming from the per-table
+    position files on sink failure.  target=redis speaks RESP v2;
+    target=elasticsearch POSTs bulk NDJSON.  ``--loopback`` self-hosts
+    the matching in-process sink (no external services in this
+    sandbox); ``--addr`` points at any real one."""
     from .config import load_app, run_app_live
 
     app = load_app(args.config)
     server = None
     if args.loopback:
-        from .functions.loopback import LoopbackRespServer
+        from .functions.loopback import (
+            LoopbackHttpBulkServer,
+            LoopbackRespServer,
+        )
 
-        server = LoopbackRespServer().start()
+        cls = (
+            LoopbackHttpBulkServer
+            if app.target == "elasticsearch"
+            else LoopbackRespServer
+        )
+        server = cls().start()
         address = server.address
     elif args.addr:
         host, _, port = args.addr.rpartition(":")
@@ -344,15 +353,17 @@ def main(argv=None) -> None:
 
     lv = sub.add_parser(
         "live",
-        help="live redis delivery: exact RESP frames to a socket, "
-             "pause/ping/resume from the position files",
+        help="live delivery: exact wire frames to a socket "
+             "(redis RESP / ES bulk), pause/ping/resume from the "
+             "position files",
     )
     lv.add_argument("--config", required=True)
     lv.add_argument("--events", required=True)
     lv.add_argument("--addr", default=None,
-                    help="host:port of a RESP v2 server (e.g. a Redis)")
+                    help="host:port of the real sink (RESP v2 server / "
+                         "ES-compatible /_bulk endpoint)")
     lv.add_argument("--loopback", action="store_true",
-                    help="self-host an in-process RESP loopback sink")
+                    help="self-host the matching in-process loopback sink")
     lv.add_argument("--position-dir", default="/tmp/gmt_ray_live_pos")
     lv.add_argument("--batch-size", type=int, default=2048)
     lv.set_defaults(fn=cmd_live)

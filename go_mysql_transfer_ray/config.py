@@ -377,6 +377,39 @@ class _RedisValueEncoder:
         return out
 
 
+class _EsBulkEncoder:
+    """Actor stage: change rows → bulk-API NDJSON frames for one ES
+    rule — the bytes elastic6.go:293-300 / the ES7 typeless path append
+    per row (insert → index+doc, update → update+{"doc":...}, delete →
+    metadata only), with the rule plan compiled once per worker."""
+
+    def __init__(self, rule_config: RuleConfig, specs, index: str,
+                 es_type: str, include_type: bool):
+        from .rules import RulePlan
+
+        self.plan = RulePlan(rule_config, specs)
+        self.index = index
+        self.es_type = es_type
+        self.include_type = include_type
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .functions.es_mapping import es6_bulk_ops
+        from .functions.wire import es_bulk_ndjson
+
+        ops = es6_bulk_ops(
+            self.plan, t, index=self.index, es_type=self.es_type
+        )
+        # per-row action from the change op (prepareBulk switches on
+        # RowRequest.Action, elastic6.go:293-300)
+        ops = ops.set_column(
+            ops.schema.get_field_index("action"), "action", t.column("op")
+        )
+        nd = es_bulk_ndjson(ops, include_type=self.include_type)
+        return pa.table(
+            {"gtid": t.column("gtid"), "ndjson": nd.column("ndjson")}
+        )
+
+
 class _LuaScriptExec:
     """Actor stage for the script target: per-row Lua execution
     (script.go:48-68 runs DoScript for side effects); emits the decoded
@@ -586,18 +619,22 @@ def run_app_live(
     ping_interval: float = 1.0,
     max_pings: int = 600,
 ) -> dict:
-    """target=redis LIVE mode — the reference's actual daemon loop.
+    """target=redis|elasticsearch LIVE mode — the reference's actual
+    daemon loop.
 
     Instead of materializing the converged state relation (``run_app``),
-    deliver the EXACT RESP frames of every configured redis rule to a
-    real socket at ``address`` (any RESP v2 server: a production Redis,
-    or ``functions.loopback.LoopbackRespServer`` for tests) through
-    ``LiveSinkLoop``: consume error → pause → ping → resume from the
-    per-table position file under ``position_dir``
-    (service/handler.go:173-181, transfer_service.go:328-354).
+    deliver the EXACT wire frames of every configured rule to a real
+    socket at ``address`` — RESP v2 pipelines for redis
+    (redis.go:225-269), bulk-API NDJSON POSTs for elasticsearch
+    (elastic6.go:293-310 / elastic7.go bulk path; es_version picks the
+    typed vs typeless action line) — through ``LiveSinkLoop``: consume
+    error → pause → ping → resume from the per-table position file
+    under ``position_dir`` (service/handler.go:173-181,
+    transfer_service.go:328-354).  Loopback sinks for both protocols
+    live in ``functions.loopback``.
 
     Tables run one loop each with independent positions — per-key
-    ordering (the only ordering redis.go's keyed commands need) is
+    ordering (the only ordering the keyed commands/doc-ids need) is
     table-scoped, so per-table streams deliver the same final keyspace
     as the reference's single interleaved consumer.  Returns per-table
     LiveSinkLoop metrics."""
@@ -607,21 +644,25 @@ def run_app_live(
     from .pipelines import cdc
     from .pipelines.live_sink import (
         FilePositionStore,
+        HttpBulkEndpoint,
         LiveSinkLoop,
         RespEndpoint,
         frame_stream,
     )
     from .stages.redis_state import RedisPlan
 
-    if app.target != "redis":
-        raise ValueError(f"live mode is redis-only (target={app.target!r})")
+    if app.target not in ("redis", "elasticsearch"):
+        raise ValueError(
+            "live mode drives the socket sinks (redis, elasticsearch); "
+            f"target={app.target!r} replays via run_app"
+        )
     tables = cdc._stream_tables(events_dir)
     matched = {t: r for t, r in app.expand(tables).items() if t in tables}
     if not matched:
         raise ValueError(f"no rule matches stream tables {tables}")
     facts = cdc.stream_facts(events_dir)
     os.makedirs(position_dir, exist_ok=True)
-    results: dict = {"target": "redis-live", "tables": {}}
+    results: dict = {"target": f"{app.target}-live", "tables": {}}
 
     for tbl, r in matched.items():
         if r.lua_script:
@@ -629,12 +670,38 @@ def run_app_live(
                 "live mode covers the rule path; Lua rules replay via "
                 "run_app (their RET protocol is stated there)"
             )
-        plan = RedisPlan(r.redis, TABLE_PKS.get(tbl, ("repo", "path")))
-        want_old = r.redis.structure in ("set", "sortedset", "list")
+        if app.target == "redis":
+            plan = RedisPlan(r.redis, TABLE_PKS.get(tbl, ("repo", "path")))
+            want_old = r.redis.structure in ("set", "sortedset", "list")
+            encoder_cls: type = _RedisValueEncoder
+            frame_col = "resp"
+            endpoint = RespEndpoint(address)
+
+            def frames(t: pa.Table, plan=plan, want_old=want_old) -> pa.Table:
+                return redis_resp_stream(
+                    plan, t, value_col="val",
+                    old_value_col="old_val" if want_old else None,
+                )
+
+            def encoder_args(specs, r=r, want_old=want_old):
+                return (r.rule_config, specs, want_old)
+        else:
+            want_old = False
+            encoder_cls = _EsBulkEncoder
+            frame_col = "ndjson"
+            endpoint = HttpBulkEndpoint(address)
+            frames = None
+
+            def encoder_args(specs, r=r, tbl=tbl, es_version=app.es_version):
+                return (
+                    r.rule_config, specs, r.es_index or tbl, r.es_type,
+                    es_version == 6,
+                )
         specs_cache: dict = {}
 
-        def dataset_fn(from_gtid: int, tbl=tbl, r=r, plan=plan,
-                       want_old=want_old, specs_cache=specs_cache):
+        def dataset_fn(from_gtid: int, tbl=tbl, want_old=want_old,
+                       encoder_cls=encoder_cls, encoder_args=encoder_args,
+                       frames=frames, specs_cache=specs_cache):
             ds, ddl_events = _decoded(
                 events_dir, tbl, keep_before=want_old, facts=facts
             )
@@ -645,28 +712,23 @@ def run_app_live(
 
             ds = ds.map_batches(prune, batch_format="pyarrow")
             ds = ds.map_batches(
-                _RedisValueEncoder,
-                fn_constructor_args=(r.rule_config, specs_cache["s"], want_old),
+                encoder_cls,
+                fn_constructor_args=encoder_args(specs_cache["s"]),
                 concurrency=(1, 4),
                 batch_format="pyarrow",
             )
-
-            def frames(t: pa.Table) -> pa.Table:
-                return redis_resp_stream(
-                    plan, t, value_col="val",
-                    old_value_col="old_val" if want_old else None,
-                )
-
-            return ds.map_batches(frames, batch_format="pyarrow")
+            if frames is not None:
+                ds = ds.map_batches(frames, batch_format="pyarrow")
+            return ds
 
         loop = LiveSinkLoop(
-            RespEndpoint(address),
+            endpoint,
             FilePositionStore(os.path.join(position_dir, f"{tbl}.json")),
             pos_save_every=pos_save_every,
             ping_interval=ping_interval,
             max_pings=max_pings,
         )
         results["tables"][tbl] = loop.run(
-            frame_stream(dataset_fn, frame_col="resp", batch_size=batch_size)
+            frame_stream(dataset_fn, frame_col=frame_col, batch_size=batch_size)
         )
     return results

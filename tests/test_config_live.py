@@ -17,7 +17,10 @@ import pyarrow.parquet as pq
 import pytest
 
 from go_mysql_transfer_ray.config import load_app, run_app, run_app_live
-from go_mysql_transfer_ray.functions.loopback import LoopbackRespServer
+from go_mysql_transfer_ray.functions.loopback import (
+    LoopbackHttpBulkServer,
+    LoopbackRespServer,
+)
 from go_mysql_transfer_ray.sources.binlog import BinlogConfig, materialize_events
 
 ROOT = "/tmp/gmt_test_config_live"
@@ -62,9 +65,10 @@ def _state_table(app_yaml: str, events_dir: str, tag: str):
 def _live(app_yaml: str, events_dir: str, server, tag: str, **kw):
     pos = os.path.join(ROOT, f"pos_{tag}")
     shutil.rmtree(pos, ignore_errors=True)
+    kw.setdefault("batch_size", 256)
     return run_app_live(
         load_app(app_yaml), events_dir, server.address,
-        position_dir=pos, batch_size=256, **kw,
+        position_dir=pos, **kw,
     )
 
 
@@ -166,8 +170,60 @@ def test_live_resume_skips_delivered_prefix(events):
     assert m2["tables"]["repos"]["frames_delivered"] == 0
 
 
-def test_live_rejects_non_redis_target(events):
-    with pytest.raises(ValueError, match="redis-only"):
+APP_ES = (
+    "target: elasticsearch\n"
+    "rule:\n"
+    "  -\n"
+    "    table: repos\n"
+    "    include_columns: repo,path,lang\n"
+)
+
+
+def test_live_es_converges_to_lake_with_kill(events):
+    """Bulk NDJSON over the HTTP loopback, killed mid-stream and
+    healed, converges to the same per-id docs as run_app's keyed lake
+    (elastic6.go:293-310 bulk by _id is LWW per doc)."""
+    from go_mysql_transfer_ray.pipelines import cdc
+
+    server = LoopbackHttpBulkServer().start()
+    try:
+        server.fail_after(2)
+        stop = threading.Event()
+
+        def heal_once_down():
+            while not stop.is_set() and not server._fault.is_down():
+                stop.wait(0.02)
+            stop.wait(0.3)
+            server.heal()
+
+        threading.Thread(target=heal_once_down, daemon=True).start()
+        try:
+            m = _live(
+                APP_ES, events, server, "es", batch_size=64,
+                ping_interval=0.1, max_pings=300,
+            )
+        finally:
+            stop.set()
+        docs = server.snapshot()
+        tm = m["tables"]["repos"]
+        assert tm["consume_errors"] >= 1 and tm["reconnects"] >= 1
+    finally:
+        server.stop()
+    live = {i: (d["repo"], d["path"], d["lang"]) for i, d in docs.items()}
+
+    out = os.path.join(ROOT, "state_es")
+    shutil.rmtree(out, ignore_errors=True)
+    run_app(load_app(APP_ES), events, out, num_partitions=8)
+    lake = cdc.lake_table(os.path.join(out, "lake"))
+    oracle = {
+        r["repo"] + r["path"]: (r["repo"], r["path"], r["lang"])
+        for r in lake.to_pylist()
+    }
+    assert live == oracle and len(live) > 100
+
+
+def test_live_rejects_non_socket_target(events):
+    with pytest.raises(ValueError, match="socket sinks"):
         run_app_live(
             load_app("target: kafka\nrule:\n  -\n    table: repos\n"),
             events, ("127.0.0.1", 1), position_dir=os.path.join(ROOT, "bad"),
