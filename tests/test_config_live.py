@@ -222,6 +222,60 @@ def test_live_es_converges_to_lake_with_kill(events):
     assert live == oracle and len(live) > 100
 
 
+APP_MULTI = (
+    "target: redis\n"
+    "rule:\n"
+    "  -\n"
+    "    table: repos\n"
+    "    redis_structure: string\n"
+    "    redis_key_prefix: 'r:'\n"
+    "  -\n"
+    "    table: users\n"
+    "    redis_structure: string\n"
+    "    redis_key_prefix: 'u:'\n"
+    "    include_columns: user_id,plan\n"
+)
+
+
+def test_live_multi_table_two_rules(ray_session):
+    """Two per-table rules over ONE interleaved binlog (the reference's
+    core operating mode, transfer_service.go:206-276) run one live loop
+    + position file per table and converge both keyspaces."""
+    from go_mysql_transfer_ray.sources.binlog import materialize_multi_events
+
+    ev = materialize_multi_events(
+        BinlogConfig(num_keys=150, avg_events_per_key=3.0, delete_pct=12,
+                     seed=5),
+        BinlogConfig(num_keys=80, avg_events_per_key=3.0, delete_pct=10,
+                     seed=6),
+        root=os.path.join(ROOT, "multi_events"), shards=2,
+    )
+    server = LoopbackRespServer().start()
+    try:
+        m = _live(APP_MULTI, ev, server, "multi")
+        live = {
+            k: v for k, (typ, v) in server.snapshot().items() if typ == "string"
+        }
+    finally:
+        server.stop()
+    assert set(m["tables"]) == {"repos", "users"}
+    pos_dir = os.path.join(ROOT, "pos_multi")
+    assert sorted(os.listdir(pos_dir)) == ["repos.json", "users.json"]
+
+    oracle_tab = _state_table(APP_MULTI, ev, "multi")
+    # run_app writes one state relation per table; merge both
+    out = os.path.join(ROOT, "state_multi")
+    oracle = {}
+    for tbl in ("repos", "users"):
+        t = pq.read_table(os.path.join(out, f"redis={tbl}"))
+        oracle.update(
+            zip(t.column("redis_key").to_pylist(), t.column("value").to_pylist())
+        )
+    assert live == oracle
+    assert sum(k.startswith("u:") for k in live) > 20
+    assert sum(k.startswith("r:") for k in live) > 50
+
+
 def test_live_rejects_non_socket_target(events):
     with pytest.raises(ValueError, match="socket sinks"):
         run_app_live(
