@@ -238,12 +238,28 @@ def cmd_live(args) -> dict:
     else:
         raise SystemExit("live needs --addr host:port or --loopback")
 
+    # default position scope = this (config, events) pair — positions are
+    # meaningful only against the stream they were saved from (the
+    # reference keys positions by destination *name*, wildcard.go/bolt
+    # bucket per config); a global default would let a stale position
+    # from an unrelated run filter the whole new stream away silently
+    position_dir = args.position_dir
+    if position_dir is None:
+        import hashlib
+
+        scope = hashlib.sha256(
+            f"{os.path.abspath(args.config)}\x00"
+            f"{os.path.abspath(args.events)}".encode("utf-8")
+        ).hexdigest()[:16]
+        position_dir = f"/tmp/gmt_ray_live_pos/{scope}"
+
     ray = _ray_session(args.num_cpus)
     try:
         m = run_app_live(
             app, args.events, address,
-            position_dir=args.position_dir, batch_size=args.batch_size,
+            position_dir=position_dir, batch_size=args.batch_size,
         )
+        m["position_dir"] = position_dir
         if server is not None:
             m["loopback_keys"] = len(server.snapshot())
     finally:
@@ -364,7 +380,11 @@ def main(argv=None) -> None:
                          "ES-compatible /_bulk endpoint)")
     lv.add_argument("--loopback", action="store_true",
                     help="self-host the matching in-process loopback sink")
-    lv.add_argument("--position-dir", default="/tmp/gmt_ray_live_pos")
+    lv.add_argument("--position-dir", default=None,
+                    help="position-file directory (default: a /tmp dir "
+                         "scoped to this --config + --events pair, so a "
+                         "prior run against a DIFFERENT stream can never "
+                         "silently skip delivery)")
     lv.add_argument("--batch-size", type=int, default=2048)
     lv.set_defaults(fn=cmd_live)
 

@@ -406,7 +406,11 @@ class _EsBulkEncoder:
         )
         nd = es_bulk_ndjson(ops, include_type=self.include_type)
         return pa.table(
-            {"gtid": t.column("gtid"), "ndjson": nd.column("ndjson")}
+            {
+                "gtid": t.column("gtid"),
+                "seq_in_txn": t.column("seq_in_txn"),
+                "ndjson": nd.column("ndjson"),
+            }
         )
 
 
@@ -681,6 +685,7 @@ def run_app_live(
                 return redis_resp_stream(
                     plan, t, value_col="val",
                     old_value_col="old_val" if want_old else None,
+                    seq_col="seq_in_txn",
                 )
 
             def encoder_args(specs, r=r, want_old=want_old):
@@ -729,6 +734,9 @@ def run_app_live(
             max_pings=max_pings,
         )
         results["tables"][tbl] = loop.run(
-            frame_stream(dataset_fn, frame_col=frame_col, batch_size=batch_size)
+            frame_stream(
+                dataset_fn, frame_col=frame_col, seq_col="seq_in_txn",
+                batch_size=batch_size,
+            )
         )
     return results

@@ -79,6 +79,7 @@ def redis_resp_stream(
     old_value_col: "str | None" = None,
     gtid_col: str = "gtid",
     op_col: str = "op",
+    seq_col: "str | None" = None,
 ) -> pa.Table:
     """Exact RESP pipeline bytes per change row for one Redis rule.
 
@@ -86,7 +87,9 @@ def redis_resp_stream(
     and the row's op; rows whose op maps to two pipeline commands
     (list/set/sortedset updates) emit both frames concatenated, exactly
     the bytes that row appends to the reference's pipeline buffer.
-    Returns (gtid, redis_key, cmd, resp).
+    Returns (gtid, redis_key, cmd, resp); ``seq_col`` (opt-in so the
+    wire-oracle schema stays fixed) passes the intra-transaction
+    sequence through for delivery-order sorts.
     """
     cfg = plan.cfg
     # nil values go on the wire as empty bulk strings ($0), matching the
@@ -169,14 +172,15 @@ def redis_resp_stream(
     else:  # pragma: no cover - RedisPlan validates structure
         raise ValueError(f"unknown structure {cfg.structure!r}")
 
-    return pa.table(
-        {
-            "gtid": batch.column(gtid_col),
-            "redis_key": key,
-            "cmd": cmd,
-            "resp": resp,
-        }
-    )
+    cols = {
+        "gtid": batch.column(gtid_col),
+        "redis_key": key,
+        "cmd": cmd,
+        "resp": resp,
+    }
+    if seq_col is not None:
+        cols[seq_col] = batch.column(seq_col)
+    return pa.table(cols)
 
 
 # JSON string-literal escapes, applied in order (backslash FIRST so the
@@ -186,17 +190,24 @@ def redis_resp_stream(
 # controls — merge keys legitimately contain \x00 (CLAUDE.md) and a raw
 # newline in an _id would split an ES bulk action line across NDJSON
 # rows — and the HTML trio Go's json.Marshal escapes by default.
-_JSON_ESCAPES: "tuple[tuple[str, str], ...]" = (
-    (("\\", "\\\\"), ('"', '\\"'),
-     ("\b", "\\b"), ("\t", "\\t"), ("\n", "\\n"),
+_JSON_PRE: "tuple[tuple[str, str], ...]" = (
+    ("\\", "\\\\"), ('"', '\\"'),
+)
+_JSON_CTRL: "tuple[tuple[str, str], ...]" = (
+    (("\b", "\\b"), ("\t", "\\t"), ("\n", "\\n"),
      ("\f", "\\f"), ("\r", "\\r"))
     + tuple(
         (chr(c), f"\\u{c:04x}")
         for c in range(0x20)
         if chr(c) not in "\b\t\n\f\r"
     )
-    + (("<", "\\u003c"), (">", "\\u003e"), ("&", "\\u0026"))
 )
+_JSON_POST: "tuple[tuple[str, str], ...]" = (
+    ("<", "\\u003c"), (">", "\\u003e"), ("&", "\\u0026"),
+)
+# RE2 class matching any C0 control — one vectorized containment probe
+# decides whether the 32 control-escape passes run at all
+_CTRL_CLASS = "[\\x00-\\x1f]"
 
 
 def _json_escape(col):
@@ -205,8 +216,22 @@ def _json_escape(col):
     Go-HTML-escape) produces for body strings — named shorthands for the
     common controls, ``\\u00xx`` for the rest, so metadata fields
     (``_index``/``_type``/``_id``) and bodies frame identically and no
-    raw control byte can corrupt NDJSON/extended-JSON framing."""
-    for lit, rep in _JSON_ESCAPES:
+    raw control byte can corrupt NDJSON/extended-JSON framing.
+
+    Hot-path shape: backslash runs FIRST (so escapes it introduces are
+    never re-escaped), then the 32 per-control passes run only when one
+    cheap regex probe finds any C0 byte in the column — metadata columns
+    almost never carry controls, so the common case is 5 kernel passes
+    plus one match, not 37 full-column materializations."""
+    for lit, rep in _JSON_PRE:
+        col = pc.replace_substring(col, pattern=lit, replacement=rep)
+    has_ctrl = pc.any(
+        pc.match_substring_regex(pc.fill_null(col, ""), _CTRL_CLASS)
+    ).as_py()
+    if has_ctrl:
+        for lit, rep in _JSON_CTRL:
+            col = pc.replace_substring(col, pattern=lit, replacement=rep)
+    for lit, rep in _JSON_POST:
         col = pc.replace_substring(col, pattern=lit, replacement=rep)
     return col
 

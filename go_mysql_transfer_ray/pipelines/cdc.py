@@ -396,10 +396,17 @@ def replay(
         if udf is not None:
             final_cols = None  # UDF may add columns: derive from the data
         else:
+            from ..schema import TABLE_NAME, TABLE_PKS
+
             plan = RulePlan(rule_config, _stream_specs(ddl_events))
             final_cols = list(plan.output_order)
-            needed = {p.column_name for p in plan.paddings} | set(
-                rule_config.primary_keys
+            # decode builds the merge key from the TABLE's PKs (not the
+            # rule's), so they must survive the projection even when the
+            # rule excludes them or keys on other columns
+            needed = (
+                {p.column_name for p in plan.paddings}
+                | set(rule_config.primary_keys)
+                | set(TABLE_PKS[TABLE_NAME])
             )
             base_needed = tuple(c for c in BASE_COLUMNS if c in needed)
             all_ddl = _ddl_columns(ddl_events)
@@ -408,8 +415,15 @@ def replay(
                 len(base_needed) < len(BASE_COLUMNS)
                 or len(ddl_needed) < len(all_ddl)
             )
-            if narrower and not rule_config.reserve_raw_data:
-                # reserve_raw_data keeps the full old-row image — no pruning
+            if (
+                narrower
+                and not rule_config.reserve_raw_data
+                and transform is None
+            ):
+                # reserve_raw_data keeps the full old-row image, and a
+                # ``transform`` callable is as opaque a row consumer as a
+                # UDF (it runs on the decoded batch and may read columns
+                # the rule doesn't) — no pruning under either
                 pushdown = (base_needed, ddl_needed)
     else:
         final_cols = _final_columns(ddl_events)

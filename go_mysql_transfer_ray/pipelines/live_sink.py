@@ -320,28 +320,62 @@ def frame_stream(
     *,
     frame_col: str,
     gtid_col: str = "gtid",
+    seq_col: "str | None" = None,
     batch_size: int = 1024,
 ):
     """Build a ``stream_fn`` for ``LiveSinkLoop`` from a Dataset factory.
 
     ``dataset_fn(from_gtid)`` returns the (lazy) frame Dataset already
     filtered to ``gtid > from_gtid`` — resume re-plans the pipeline so
-    pruning happens at the read.  The tail sorts by gtid (commit order;
-    the single sink socket is the serial bottleneck, not this sort) and
+    pruning happens at the read.  The tail sorts by (gtid[, seq_col])
+    (commit order; pass ``seq_col`` whenever the frames carry an
+    intra-transaction sequence — equal-gtid rows have no defined order
+    out of a range-partitioned sort otherwise, and order-sensitive
+    commands like RPUSH/SET-same-key land inside one transaction) and
     iterates Arrow batches with backpressure — the full stream is never
-    materialized on the driver."""
+    materialized on the driver.
+
+    Micro-batches are ALIGNED TO TRANSACTION BOUNDARIES: rows of a gtid
+    that spills past an Arrow batch are held back and yielded with the
+    rest of their transaction, so the ``batch_max_gtid`` the loop
+    checkpoints never names a transaction whose tail is undelivered
+    (the reference saves the position only on XID — commit — events,
+    /root/reference/service/handler.go:106-113, for the same reason)."""
+
+    import numpy as np
 
     def stream(from_gtid: int):
-        ds = dataset_fn(from_gtid).sort(gtid_col)
+        keys = [gtid_col] if seq_col is None else [gtid_col, seq_col]
+        ds = dataset_fn(from_gtid).sort(keys)
+        carry: "list[bytes]" = []  # frames of the trailing (open) gtid
+        carry_gtid = -1
         for batch in ds.iter_batches(
             batch_size=batch_size, batch_format="pyarrow"
         ):
             if batch.num_rows == 0:
                 continue
+            gtids = batch.column(gtid_col).to_numpy(zero_copy_only=False)
             frames = [
                 f.encode("utf-8") if isinstance(f, str) else f
                 for f in batch.column(frame_col).to_pylist()
             ]
-            yield int(batch.column(gtid_col)[-1].as_py()), frames
+            last = int(gtids[-1])
+            # first index of the trailing run of `last` (gtids ascending)
+            cut = int(np.searchsorted(gtids, last, side="left"))
+            if cut > 0:
+                # carry (gtid ≤ gtids[0] ≤ gtids[cut-1]) + rows[:cut] are
+                # complete transactions — no later batch can revisit a
+                # gtid < last once the stream is sorted
+                yield int(gtids[cut - 1]), carry + frames[:cut]
+                carry, carry_gtid = frames[cut:], last
+            elif carry and carry_gtid != last:
+                # whole batch is one NEW gtid: the carried txn closed
+                yield carry_gtid, carry
+                carry, carry_gtid = frames, last
+            else:
+                carry += frames
+                carry_gtid = last
+        if carry:
+            yield carry_gtid, carry
 
     return stream

@@ -309,6 +309,114 @@ def test_http_bulk_live_delivery_and_recovery(tmp_path):
         server.stop()
 
 
+class _RecordingEndpoint:
+    """In-memory endpoint: frames are ``key=value`` strings; fails the
+    Nth consume once, pings OK, so recovery is immediate."""
+
+    def __init__(self, fail_on_consume: int = 0):
+        self.fail_on = fail_on_consume
+        self.consumes = 0
+        self.state: dict = {}
+        self.deliveries: list = []
+
+    def connect(self):
+        pass
+
+    def close(self):
+        pass
+
+    def ping(self):
+        pass
+
+    def consume(self, frames):
+        self.consumes += 1
+        if self.consumes == self.fail_on:
+            raise SinkError("injected consume failure")
+        for f in frames:
+            k, _, v = f.decode("utf-8").partition("=")
+            self.state[k] = v
+            self.deliveries.append(k)
+
+
+def _txn_table() -> pa.Table:
+    """Three transactions; the middle one has three rows, so a 2-row
+    Arrow batch boundary lands MID-transaction."""
+    return pa.table(
+        {
+            "gtid": pa.array([1, 2, 2, 2, 3], pa.int64()),
+            "seq_in_txn": pa.array([0, 0, 1, 2, 0], pa.int32()),
+            "frame": pa.array(
+                ["r1=a", "t2a=b", "t2b=c", "t2c=d", "r3=e"], pa.string()
+            ),
+        }
+    )
+
+
+def _txn_dataset_fn(tab: pa.Table):
+    def fn(from_gtid: int):
+        return ray.data.from_arrow(
+            tab.filter(pc.greater(tab.column("gtid"), from_gtid))
+        )
+
+    return fn
+
+
+def test_txn_spanning_batch_checkpoint_no_loss(tmp_path):
+    """A transaction (gtid) spilling past an Arrow batch boundary must
+    never be checkpointed half-delivered: the sink dies right after the
+    micro-batch that *ends inside* gtid 2, and on resume the WHOLE of
+    gtid 2 redelivers — no row of a split transaction is ever lost
+    (the reference only saves positions on commit, handler.go:106-113)."""
+    tab = _txn_table()
+    # batch_size=2 → micro-batches align to txn bounds: [gtid1], then
+    # gtid2's three rows held together, then [gtid3]
+    ep = _RecordingEndpoint(fail_on_consume=2)
+    loop = LiveSinkLoop(
+        ep,
+        FilePositionStore(str(tmp_path / "pos.json")),
+        pos_save_every=1,
+        ping_interval=0.0,
+        sleep=lambda dt: None,
+    )
+    metrics = loop.run(
+        frame_stream(
+            _txn_dataset_fn(tab), frame_col="frame", seq_col="seq_in_txn",
+            batch_size=2,
+        )
+    )
+    assert metrics["consume_errors"] == 1
+    assert metrics["position"] == 3
+    # every row of the split transaction arrived (loss = missing key)
+    assert ep.state == {"r1": "a", "t2a": "b", "t2b": "c", "t2c": "d", "r3": "e"}
+    # and the checkpoint never named gtid 2 while its tail was pending:
+    # the failed consume was gtid 2's FULL transaction, redelivered whole
+    assert ep.deliveries == ["r1", "t2a", "t2b", "t2c", "r3"]
+
+
+def test_same_gtid_rows_deliver_in_seq_order(tmp_path):
+    """Rows of one transaction deliver in seq_in_txn order even when the
+    physical/source order is reversed — SET k v1 (seq 0) then SET k v2
+    (seq 1) must leave v2, whatever order the blocks arrive in."""
+    tab = pa.table(
+        {
+            "gtid": pa.array([7, 7, 7], pa.int64()),
+            "seq_in_txn": pa.array([2, 0, 1], pa.int32()),
+            "frame": pa.array(["k=v2", "k=v0", "k=v1"], pa.string()),
+        }
+    )
+    ep = _RecordingEndpoint()
+    LiveSinkLoop(
+        ep, FilePositionStore(str(tmp_path / "pos.json")),
+        ping_interval=0.0, sleep=lambda dt: None,
+    ).run(
+        frame_stream(
+            _txn_dataset_fn(tab), frame_col="frame", seq_col="seq_in_txn",
+            batch_size=64,
+        )
+    )
+    assert ep.state == {"k": "v2"}  # seq 2 applied last
+
+
 def test_http_bulk_rejects_errors_response():
     server = LoopbackHttpBulkServer().start()
     try:

@@ -300,6 +300,54 @@ def test_rule_projection_pushdown_narrows_read_same_lake(tmp_path, monkeypatch):
     }
 
 
+def test_pushdown_keeps_table_pks_with_custom_rule_keys(tmp_path):
+    """A rule keyed on a SUBSET of the table's PKs must not prune the
+    other PK out of the read — decode builds the merge key from
+    TABLE_PKS (repo,path) regardless of the rule's primary_keys, so
+    ``path`` has to survive the projection even though the rule never
+    outputs it."""
+    rule = RuleConfig(primary_keys=("repo",), include_columns="repo,lang")
+    engine, _ = run(tmp_path, rule_config=rule)
+    assert engine.column_names == ["repo", "lang"]
+
+    ora = oracle.replay_full(generate(CFG).table)
+    expected = sorted(
+        (r["repo"], r["lang"]) for r in ora.values()
+    )
+    got = sorted((r["repo"], r["lang"]) for r in engine.to_pylist())
+    assert got == expected
+
+
+def test_transform_with_rule_sees_full_row(tmp_path):
+    """A ``transform`` callable is an opaque row consumer: combining it
+    with a narrowing rule must NOT prune columns the transform reads
+    (here the transform derives ``lang`` from ``content``, which the
+    rule itself never consumes)."""
+
+    def tf(t):
+        lens = pc.cast(pc.binary_length(t.column("content")), "string")
+        return t.set_column(
+            t.schema.get_field_index("lang"), "lang", lens
+        )
+
+    rule = RuleConfig(include_columns="repo,path,lang")
+    engine, _ = run(tmp_path, rule_config=rule, transform=tf)
+
+    ora = oracle.replay_full(generate(CFG).table)
+    expected = oracle_rule_rows(
+        ora,
+        lambda r: {
+            "repo": r["repo"],
+            "path": r["path"],
+            "lang": str(len(r["content"])),
+        },
+    )
+    got = engine_rows(engine, lambda r: r["repo"] + r["path"])
+    assert got == {
+        oracle.composite_key(v["repo"], v["path"]): v for v in expected.values()
+    }
+
+
 def test_full_width_rule_skips_pushdown(tmp_path, monkeypatch):
     """A rule consuming every column must not pay the narrowed-schema
     read path at all."""
