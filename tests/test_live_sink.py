@@ -426,3 +426,73 @@ def test_http_bulk_rejects_errors_response():
             ep.consume([b'{"frobnicate":{"_id":"1"}}\n'])
     finally:
         server.stop()
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    txn_sizes=st.lists(st.integers(min_value=1, max_value=6), min_size=1, max_size=12),
+    batch_size=st.integers(min_value=1, max_value=9),
+    pos_save_every=st.integers(min_value=1, max_value=4),
+    fail_at=st.integers(min_value=0, max_value=8),
+    shuffle_seed=st.integers(min_value=0, max_value=1000),
+)
+def test_property_no_row_lost_any_txn_shape(
+    ray_session, tmp_path_factory, txn_sizes, batch_size, pos_save_every,
+    fail_at, shuffle_seed,
+):
+    """For ANY transaction shape, Arrow batch size, checkpoint cadence,
+    physical row order and single mid-stream consume failure: every row
+    is delivered (no loss), the final position is the last gtid, and
+    each transaction's rows arrive contiguously in seq order."""
+    import random
+
+    rows = []
+    for g, size in enumerate(txn_sizes, start=1):
+        for s in range(size):
+            rows.append((g, s, f"g{g}s{s}=v"))
+    random.Random(shuffle_seed).shuffle(rows)  # physical order is arbitrary
+    tab = pa.table(
+        {
+            "gtid": pa.array([r[0] for r in rows], pa.int64()),
+            "seq_in_txn": pa.array([r[1] for r in rows], pa.int32()),
+            "frame": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    ep = _RecordingEndpoint(fail_on_consume=fail_at)  # 0 = never fails
+    pos = tmp_path_factory.mktemp("livepos") / "pos.json"
+    metrics = LiveSinkLoop(
+        ep, FilePositionStore(str(pos)),
+        pos_save_every=pos_save_every, ping_interval=0.0,
+        sleep=lambda dt: None,
+    ).run(
+        frame_stream(
+            _txn_dataset_fn(tab), frame_col="frame", seq_col="seq_in_txn",
+            batch_size=batch_size,
+        )
+    )
+    # no loss, final position = last committed gtid
+    assert set(ep.state) == {r[2].split("=")[0] for r in rows}
+    assert metrics["position"] == len(txn_sizes)
+    # txn atomicity + intra-txn order: the LAST delivery run of every
+    # transaction must be contiguous and seq-ascending (redelivery after
+    # a failure resends the whole transaction in order)
+    runs: dict = {}
+    for i, k in enumerate(ep.deliveries):
+        g, s = k.split("s")
+        g, s = int(g[1:]), int(s.split("=")[0])
+        runs.setdefault(g, [])
+        if runs[g] and runs[g][-1][0] == i - 1 and runs[g][-1][1] == s - 1:
+            runs[g].append((i, s))
+        elif s == 0:
+            runs[g] = [(i, s)]
+    for g, size in enumerate(txn_sizes, start=1):
+        assert [s for _, s in runs[g]] == list(range(size)), (
+            f"txn {g} rows not delivered contiguously in seq order"
+        )
