@@ -258,6 +258,8 @@ def cmd_live(args) -> dict:
         m = run_app_live(
             app, args.events, address,
             position_dir=position_dir, batch_size=args.batch_size,
+            follow=args.follow, poll_interval=args.poll_interval,
+            idle_polls=args.idle_polls,
         )
         m["position_dir"] = position_dir
         if server is not None:
@@ -386,6 +388,14 @@ def main(argv=None) -> None:
                          "prior run against a DIFFERENT stream can never "
                          "silently skip delivery)")
     lv.add_argument("--batch-size", type=int, default=2048)
+    lv.add_argument("--follow", action="store_true",
+                    help="daemon shape: after draining, poll --events "
+                         "for new shards and deliver the tail (the "
+                         "binlog the reference tails forever)")
+    lv.add_argument("--poll-interval", type=float, default=1.0)
+    lv.add_argument("--idle-polls", type=int, default=3,
+                    help="stop after this many consecutive empty polls "
+                         "(use a large value for a real daemon)")
     lv.set_defaults(fn=cmd_live)
 
     sv = sub.add_parser("serve", help="web admin: /, /metrics, /position")

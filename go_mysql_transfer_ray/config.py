@@ -622,6 +622,10 @@ def run_app_live(
     pos_save_every: int = 4,
     ping_interval: float = 1.0,
     max_pings: int = 600,
+    follow: bool = False,
+    poll_interval: float = 1.0,
+    idle_polls: int = 3,
+    sleep=None,
 ) -> dict:
     """target=redis|elasticsearch LIVE mode — the reference's actual
     daemon loop.
@@ -637,11 +641,21 @@ def run_app_live(
     transfer_service.go:328-354).  Loopback sinks for both protocols
     live in ``functions.loopback``.
 
+    ``follow=True`` is the daemon shape: after draining the stream the
+    loop polls ``events_dir`` every ``poll_interval`` seconds for NEW
+    event shards (the binlog the reference tails forever, main.go's
+    blocking transfer service) and delivers only the tail past each
+    table's saved position — new tables, new DDLs and new shards are
+    picked up per pass because facts/rules are re-expanded from the
+    directory each time.  It returns after ``idle_polls`` consecutive
+    empty passes (a test/sandbox bound; a real daemon would pass a
+    large value and be killed by signal).
+
     Tables run one loop each with independent positions — per-key
     ordering (the only ordering the keyed commands/doc-ids need) is
     table-scoped, so per-table streams deliver the same final keyspace
     as the reference's single interleaved consumer.  Returns per-table
-    LiveSinkLoop metrics."""
+    LiveSinkLoop metrics (summed across passes in follow mode)."""
     import pyarrow.compute as pc
 
     from .functions.wire import redis_resp_stream
@@ -660,83 +674,114 @@ def run_app_live(
             "live mode drives the socket sinks (redis, elasticsearch); "
             f"target={app.target!r} replays via run_app"
         )
-    tables = cdc._stream_tables(events_dir)
-    matched = {t: r for t, r in app.expand(tables).items() if t in tables}
-    if not matched:
-        raise ValueError(f"no rule matches stream tables {tables}")
-    facts = cdc.stream_facts(events_dir)
     os.makedirs(position_dir, exist_ok=True)
     results: dict = {"target": f"{app.target}-live", "tables": {}}
 
-    for tbl, r in matched.items():
-        if r.lua_script:
-            raise ValueError(
-                "live mode covers the rule path; Lua rules replay via "
-                "run_app (their RET protocol is stated there)"
-            )
-        if app.target == "redis":
-            plan = RedisPlan(r.redis, TABLE_PKS.get(tbl, ("repo", "path")))
-            want_old = r.redis.structure in ("set", "sortedset", "list")
-            encoder_cls: type = _RedisValueEncoder
-            frame_col = "resp"
-            endpoint = RespEndpoint(address)
+    def _deliver_pass() -> dict:
+        """One full delivery pass over the CURRENT contents of
+        events_dir: rules re-expanded, facts re-scanned (new shards /
+        DDLs / tables since the last pass are all visible), each table
+        resumed from its position file."""
+        tables = cdc._stream_tables(events_dir)
+        matched = {t: r for t, r in app.expand(tables).items() if t in tables}
+        if not matched:
+            raise ValueError(f"no rule matches stream tables {tables}")
+        facts = cdc.stream_facts(events_dir)
+        pass_metrics: dict = {}
 
-            def frames(t: pa.Table, plan=plan, want_old=want_old) -> pa.Table:
-                return redis_resp_stream(
-                    plan, t, value_col="val",
-                    old_value_col="old_val" if want_old else None,
-                    seq_col="seq_in_txn",
+        for tbl, r in matched.items():
+            if r.lua_script:
+                raise ValueError(
+                    "live mode covers the rule path; Lua rules replay via "
+                    "run_app (their RET protocol is stated there)"
                 )
+            if app.target == "redis":
+                plan = RedisPlan(r.redis, TABLE_PKS.get(tbl, ("repo", "path")))
+                want_old = r.redis.structure in ("set", "sortedset", "list")
+                encoder_cls: type = _RedisValueEncoder
+                frame_col = "resp"
+                endpoint = RespEndpoint(address)
 
-            def encoder_args(specs, r=r, want_old=want_old):
-                return (r.rule_config, specs, want_old)
-        else:
-            want_old = False
-            encoder_cls = _EsBulkEncoder
-            frame_col = "ndjson"
-            endpoint = HttpBulkEndpoint(address)
-            frames = None
+                def frames(t: pa.Table, plan=plan, want_old=want_old) -> pa.Table:
+                    return redis_resp_stream(
+                        plan, t, value_col="val",
+                        old_value_col="old_val" if want_old else None,
+                        seq_col="seq_in_txn",
+                    )
 
-            def encoder_args(specs, r=r, tbl=tbl, es_version=app.es_version):
-                return (
-                    r.rule_config, specs, r.es_index or tbl, r.es_type,
-                    es_version == 6,
+                def encoder_args(specs, r=r, want_old=want_old):
+                    return (r.rule_config, specs, want_old)
+            else:
+                want_old = False
+                encoder_cls = _EsBulkEncoder
+                frame_col = "ndjson"
+                endpoint = HttpBulkEndpoint(address)
+                frames = None
+
+                def encoder_args(specs, r=r, tbl=tbl, es_version=app.es_version):
+                    return (
+                        r.rule_config, specs, r.es_index or tbl, r.es_type,
+                        es_version == 6,
+                    )
+            specs_cache: dict = {}
+
+            def dataset_fn(from_gtid: int, tbl=tbl, want_old=want_old,
+                           encoder_cls=encoder_cls, encoder_args=encoder_args,
+                           frames=frames, specs_cache=specs_cache, facts=facts):
+                ds, ddl_events = _decoded(
+                    events_dir, tbl, keep_before=want_old, facts=facts
                 )
-        specs_cache: dict = {}
+                specs_cache.setdefault("s", _table_specs(tbl, ddl_events))
 
-        def dataset_fn(from_gtid: int, tbl=tbl, want_old=want_old,
-                       encoder_cls=encoder_cls, encoder_args=encoder_args,
-                       frames=frames, specs_cache=specs_cache):
-            ds, ddl_events = _decoded(
-                events_dir, tbl, keep_before=want_old, facts=facts
+                def prune(t: pa.Table) -> pa.Table:
+                    return t.filter(pc.greater(t.column("gtid"), from_gtid))
+
+                ds = ds.map_batches(prune, batch_format="pyarrow")
+                ds = ds.map_batches(
+                    encoder_cls,
+                    fn_constructor_args=encoder_args(specs_cache["s"]),
+                    concurrency=(1, 4),
+                    batch_format="pyarrow",
+                )
+                if frames is not None:
+                    ds = ds.map_batches(frames, batch_format="pyarrow")
+                return ds
+
+            loop = LiveSinkLoop(
+                endpoint,
+                FilePositionStore(os.path.join(position_dir, f"{tbl}.json")),
+                pos_save_every=pos_save_every,
+                ping_interval=ping_interval,
+                max_pings=max_pings,
             )
-            specs_cache.setdefault("s", _table_specs(tbl, ddl_events))
-
-            def prune(t: pa.Table) -> pa.Table:
-                return t.filter(pc.greater(t.column("gtid"), from_gtid))
-
-            ds = ds.map_batches(prune, batch_format="pyarrow")
-            ds = ds.map_batches(
-                encoder_cls,
-                fn_constructor_args=encoder_args(specs_cache["s"]),
-                concurrency=(1, 4),
-                batch_format="pyarrow",
+            pass_metrics[tbl] = loop.run(
+                frame_stream(
+                    dataset_fn, frame_col=frame_col, seq_col="seq_in_txn",
+                    batch_size=batch_size,
+                )
             )
-            if frames is not None:
-                ds = ds.map_batches(frames, batch_format="pyarrow")
-            return ds
+        return pass_metrics
 
-        loop = LiveSinkLoop(
-            endpoint,
-            FilePositionStore(os.path.join(position_dir, f"{tbl}.json")),
-            pos_save_every=pos_save_every,
-            ping_interval=ping_interval,
-            max_pings=max_pings,
-        )
-        results["tables"][tbl] = loop.run(
-            frame_stream(
-                dataset_fn, frame_col=frame_col, seq_col="seq_in_txn",
-                batch_size=batch_size,
-            )
-        )
+    def _fold(into: dict, pass_metrics: dict):
+        for tbl, m in pass_metrics.items():
+            agg = into.setdefault(tbl, dict.fromkeys(m, 0))
+            for k, v in m.items():
+                agg[k] = v if k == "position" else agg.get(k, 0) + v
+
+    _fold(results["tables"], _deliver_pass())
+    if not follow:
+        return results
+
+    import time as _time
+
+    _sleep = sleep if sleep is not None else _time.sleep
+    passes, idle = 1, 0
+    while idle < idle_polls:
+        _sleep(poll_interval)
+        pm = _deliver_pass()
+        passes += 1
+        delivered = sum(m["frames_delivered"] for m in pm.values())
+        idle = 0 if delivered else idle + 1
+        _fold(results["tables"], pm)
+    results["passes"] = passes
     return results

@@ -302,3 +302,70 @@ def test_cli_live_loopback(events):
     assert out["target"] == "redis-live"
     assert out["loopback_keys"] > 50
     assert out["tables"]["repos"]["consume_errors"] == 0
+
+
+def test_follow_mode_delivers_late_arriving_tail(events):
+    """The daemon shape (main.go's blocking transfer service): follow
+    mode drains the stream, keeps polling the events dir, and when a
+    NEW shard lands (the binlog growing) delivers ONLY the tail past
+    the saved positions — the final keyspace equals the batch state of
+    the full stream."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    full = pa.concat_tables(
+        pq.read_table(f)
+        for f in sorted(glob.glob(os.path.join(events, "events-*.parquet")))
+    )
+    gtids = full.column("gtid").to_pylist()
+    mid = sorted(gtids)[len(gtids) // 2]
+    grow = os.path.join(ROOT, "grow_events")
+    shutil.rmtree(grow, ignore_errors=True)
+    os.makedirs(grow)
+    pq.write_table(
+        full.filter(pc.less_equal(full.column("gtid"), mid)),
+        os.path.join(grow, "events-00000.parquet"),
+    )
+    shutil.copy(os.path.join(events, "_meta.json"), grow)
+    late = full.filter(pc.greater(full.column("gtid"), mid))
+
+    server = LoopbackRespServer().start()
+    polls = {"n": 0}
+
+    def poll_hook(dt):
+        polls["n"] += 1
+        if polls["n"] == 1:  # the binlog grows between polls 0 and 1
+            pq.write_table(late, os.path.join(grow, "events-00001.parquet"))
+
+    pos = os.path.join(ROOT, "pos_follow")
+    shutil.rmtree(pos, ignore_errors=True)
+    try:
+        m = run_app_live(
+            load_app(APP_STRING), grow, server.address,
+            position_dir=pos, batch_size=256,
+            follow=True, poll_interval=0.0, idle_polls=2, sleep=poll_hook,
+        )
+        live = {
+            k: v for k, (typ, v) in server.snapshot().items() if typ == "string"
+        }
+    finally:
+        server.stop()
+
+    # the late tail was delivered by a FOLLOW pass, not the initial
+    # drain: the final position covers gtids that did not exist when
+    # the first pass ran, and the loop kept polling until idle
+    tm = m["tables"]["repos"]
+    assert m["passes"] >= 3  # drain + tail pass + idle polls
+    assert tm["position"] == max(gtids) > mid
+    assert tm["frames_delivered"] > 0
+    # final keyspace equals the batch oracle over the FULL stream
+    oracle_tab = _state_table(APP_STRING, events, "follow")
+    oracle = dict(
+        zip(
+            oracle_tab.column("redis_key").to_pylist(),
+            oracle_tab.column("value").to_pylist(),
+        )
+    )
+    assert live == oracle and len(live) > 50
