@@ -266,8 +266,10 @@ def test_standby_takes_over_on_lease_expiry(tmp_path, ray_session):
     os.makedirs(os.path.join(out, "_manifests"), exist_ok=True)
 
     # the doomed leader: acquires, "replays" partially (3 of 8 partitions
-    # missing, the takeover fixture), then dies without renew/resign
-    crashed = LeaseElection(out, "doomed", ttl=0.5)
+    # missing, the takeover fixture), then dies without renew/resign.
+    # TTL is long so the "still live" pre-check below can never race the
+    # replay's wall time — expiry is then fast-forwarded explicitly.
+    crashed = LeaseElection(out, "doomed", ttl=30.0)
     assert crashed.campaign() and crashed.fencing_token == 1
     cdc.replay(events_dir, out, num_partitions=8)
     for p in (2, 5, 7):
@@ -277,6 +279,21 @@ def test_standby_takes_over_on_lease_expiry(tmp_path, ray_session):
     # standby contends while the (dead) leader's lease is still live
     standby = LeaseElection(out, "standby", ttl=5.0)
     assert not standby.campaign()  # lease not yet expired
+
+    # fast-forward: the dead leader stops renewing and its lease lapses
+    # in ~0.3 s (deterministic stand-in for waiting out a real TTL)
+    import json as _json
+    import time as _time
+
+    lease_path = os.path.join(
+        out, "_manifests", "_election", "epoch-000000000001.json"
+    )
+    with open(lease_path, "r", encoding="utf-8") as f:
+        lease = _json.load(f)
+    lease["expires_at"] = _time.time() + 0.3
+    with open(lease_path, "w", encoding="utf-8") as f:
+        _json.dump(lease, f)
+    assert not standby.campaign()  # still live for the last 0.3 s
     m = replay_as_cluster_node(
         events_dir, out, "standby", ttl=5.0, poll=0.05, num_partitions=8
     )
