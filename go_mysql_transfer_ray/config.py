@@ -658,6 +658,7 @@ def run_app_live(
     LiveSinkLoop metrics (summed across passes in follow mode)."""
     import pyarrow.compute as pc
 
+    from .functions.loopback import SinkError
     from .functions.wire import redis_resp_stream
     from .pipelines import cdc
     from .pipelines.live_sink import (
@@ -695,6 +696,23 @@ def run_app_live(
                     "live mode covers the rule path; Lua rules replay via "
                     "run_app (their RET protocol is stated there)"
                 )
+            store = FilePositionStore(
+                os.path.join(position_dir, f"{tbl}.json")
+            )
+            saved = store.load()
+            if facts["watermark"] <= saved:
+                # idle-poll fast path: the footer-stats watermark (already
+                # scanned for this pass) proves nothing exists past the
+                # saved position — skip the full read/decode/actor-pool
+                # pipeline entirely (a daemon polls every second; O(full
+                # history) work per empty poll would be wrong at scale)
+                pass_metrics[tbl] = {
+                    "batches_delivered": 0, "frames_delivered": 0,
+                    "consume_errors": 0, "pings_failed": 0,
+                    "reconnects": 0, "position_saves": 0,
+                    "position": saved,
+                }
+                continue
             if app.target == "redis":
                 plan = RedisPlan(r.redis, TABLE_PKS.get(tbl, ("repo", "path")))
                 want_old = r.redis.structure in ("set", "sortedset", "list")
@@ -749,7 +767,7 @@ def run_app_live(
 
             loop = LiveSinkLoop(
                 endpoint,
-                FilePositionStore(os.path.join(position_dir, f"{tbl}.json")),
+                store,
                 pos_save_every=pos_save_every,
                 ping_interval=ping_interval,
                 max_pings=max_pings,
@@ -764,7 +782,7 @@ def run_app_live(
 
     def _fold(into: dict, pass_metrics: dict):
         for tbl, m in pass_metrics.items():
-            agg = into.setdefault(tbl, dict.fromkeys(m, 0))
+            agg = into.setdefault(tbl, {})
             for k, v in m.items():
                 agg[k] = v if k == "position" else agg.get(k, 0) + v
 
@@ -775,13 +793,28 @@ def run_app_live(
     import time as _time
 
     _sleep = sleep if sleep is not None else _time.sleep
-    passes, idle = 1, 0
+    passes, idle, transient = 1, 0, 0
     while idle < idle_polls:
         _sleep(poll_interval)
-        pm = _deliver_pass()
+        try:
+            pm = _deliver_pass()
+        except SinkError:
+            raise  # sink exhaustion is LiveSinkLoop's terminal signal
+        except Exception:
+            # a growing dir can hand a poll a shard mid-write (the
+            # producer's append is not atomic): treat the pass as idle
+            # and retry next poll instead of killing the daemon; counted
+            # toward idle_polls so a permanently corrupt file still
+            # terminates the loop
+            transient += 1
+            idle += 1
+            passes += 1
+            continue
         passes += 1
         delivered = sum(m["frames_delivered"] for m in pm.values())
         idle = 0 if delivered else idle + 1
         _fold(results["tables"], pm)
     results["passes"] = passes
+    if transient:
+        results["transient_errors"] = transient
     return results

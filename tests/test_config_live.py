@@ -369,3 +369,80 @@ def test_follow_mode_delivers_late_arriving_tail(events):
         )
     )
     assert live == oracle and len(live) > 50
+
+
+def test_follow_idle_polls_skip_the_pipeline(events, monkeypatch):
+    """An idle poll must not pay the full read/decode pipeline: the
+    footer-stats watermark already proves nothing is new past the saved
+    position, so only the initial drain builds a Dataset."""
+    import go_mysql_transfer_ray.config as config_mod
+
+    calls = {"n": 0}
+    orig = config_mod._decoded
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(config_mod, "_decoded", counting)
+
+    server = LoopbackRespServer().start()
+    pos = os.path.join(ROOT, "pos_idle")
+    shutil.rmtree(pos, ignore_errors=True)
+    try:
+        m = run_app_live(
+            load_app(APP_STRING), events, server.address,
+            position_dir=pos, batch_size=256,
+            follow=True, poll_interval=0.0, idle_polls=3,
+            sleep=lambda dt: None,
+        )
+    finally:
+        server.stop()
+    assert m["passes"] == 4  # drain + 3 idle polls
+    # the pipeline ran ONLY for the drain (decode is re-planned per
+    # LiveSinkLoop resume, but never for a watermark-clean idle poll)
+    assert calls["n"] == 1
+    assert m["tables"]["repos"]["frames_delivered"] > 0
+
+
+def test_follow_survives_partial_shard_write(events):
+    """A producer appending a shard non-atomically must not kill the
+    daemon loop: the broken pass counts as an idle poll and is retried;
+    accumulated delivery state survives."""
+    grow = os.path.join(ROOT, "grow_partial")
+    shutil.rmtree(grow, ignore_errors=True)
+    shutil.copytree(events, grow)
+
+    polls = {"n": 0}
+
+    def poll_hook(dt):
+        polls["n"] += 1
+        if polls["n"] == 1:  # a half-written parquet file lands
+            with open(os.path.join(grow, "events-99999.parquet"), "wb") as f:
+                f.write(b"PAR1\x00\x00garbage-mid-write")
+
+    server = LoopbackRespServer().start()
+    pos = os.path.join(ROOT, "pos_partial")
+    shutil.rmtree(pos, ignore_errors=True)
+    try:
+        m = run_app_live(
+            load_app(APP_STRING), grow, server.address,
+            position_dir=pos, batch_size=256,
+            follow=True, poll_interval=0.0, idle_polls=2, sleep=poll_hook,
+        )
+        live = {
+            k: v for k, (typ, v) in server.snapshot().items() if typ == "string"
+        }
+    finally:
+        server.stop()
+    assert m.get("transient_errors", 0) >= 1  # the broken passes
+    assert m["tables"]["repos"]["frames_delivered"] > 0  # drain kept
+    # converged keyspace from the drain is intact
+    oracle_tab = _state_table(APP_STRING, events, "partial")
+    oracle = dict(
+        zip(
+            oracle_tab.column("redis_key").to_pylist(),
+            oracle_tab.column("value").to_pylist(),
+        )
+    )
+    assert live == oracle

@@ -492,6 +492,11 @@ def test_property_no_row_lost_any_txn_shape(
             runs[g].append((i, s))
         elif s == 0:
             runs[g] = [(i, s)]
+        else:
+            # a delivery starting MID-transaction (or out of order)
+            # invalidates the run — only a later full in-order run may
+            # satisfy the final assert
+            runs[g] = []
     for g, size in enumerate(txn_sizes, start=1):
         assert [s for _, s in runs[g]] == list(range(size)), (
             f"txn {g} rows not delivered contiguously in seq order"
