@@ -786,6 +786,19 @@ def run_app_live(
             for k, v in m.items():
                 agg[k] = v if k == "position" else agg.get(k, 0) + v
 
+    def _dir_sig() -> tuple:
+        """Cheap change detector: (name, size, mtime) of every shard.
+        Computed BEFORE a pass, so a file landing mid-pass flips the
+        next poll's signature and forces a real pass — conservative."""
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(events_dir)
+                if e.name.endswith(".parquet")
+            )
+        )
+
+    sig = _dir_sig()
     _fold(results["tables"], _deliver_pass())
     if not follow:
         return results
@@ -796,6 +809,15 @@ def run_app_live(
     passes, idle, transient = 1, 0, 0
     while idle < idle_polls:
         _sleep(poll_interval)
+        new_sig = _dir_sig()
+        if new_sig == sig:
+            # nothing landed since the signature was taken: don't even
+            # fan out the footer scan (a daemon polls every second; at
+            # 10^4 shards that scan is itself the idle-poll cost center)
+            idle += 1
+            passes += 1
+            continue
+        sig = new_sig
         try:
             pm = _deliver_pass()
         except SinkError:
