@@ -554,9 +554,101 @@ def run_scaling(low: int, high: int, scale: int = 1,
     }
 
 
+def run_live() -> dict:
+    """Live-delivery throughput — the reference's operating metric
+    (binlog → redis sync rate, its README's headline).  Two spans:
+
+    * ``frame_stream_fps``: the ENGINE side — decode → rule → exact RESP
+      frame encode (all distributed `map_batches`), commit-order sort,
+      driver drain — everything except the socket.
+    * ``e2e_loopback_fps``: the same frames THROUGH `LiveSinkLoop` over
+      a real 127.0.0.1 socket into the loopback RESP server.  The
+      loopback parses commands in pure Python (~20 µs/cmd), so this
+      span measures the SINK stand-in's floor, not the engine — a real
+      redis-server (C) sustains several× more on one connection.
+    """
+    os.environ["GRAFT_SKIP_ORACLE_EXPORT"] = "1"
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    import __ray_entry__ as entry_mod
+    from go_mysql_transfer_ray.functions.loopback import LoopbackRespServer
+    from go_mysql_transfer_ray.functions.wire import redis_resp_stream
+    from go_mysql_transfer_ray.pipelines.live_sink import (
+        FilePositionStore,
+        LiveSinkLoop,
+        RespEndpoint,
+        frame_stream,
+    )
+    from go_mysql_transfer_ray.stages.redis_state import RedisConfig, RedisPlan
+
+    warm_worker_pool(NUM_CPUS)
+    probe = wait_healthy_phase()
+    plan = RedisPlan(
+        RedisConfig(structure="string", key_prefix="evt:", key_column="user_id"),
+        pk_columns=("user_id",),
+    )
+
+    def frames(t):
+        return redis_resp_stream(plan, t, value_col="event_type")
+
+    def dataset_fn(from_gtid):
+        def prune(t):
+            return t.filter(pc.greater(t.column("gtid"), from_gtid))
+
+        return (
+            entry_mod._events_as_changes(SF_DIR)
+            .map_batches(prune, batch_format="pyarrow")
+            .map_batches(frames, batch_format="pyarrow")
+        )
+
+    # engine side: drain the ordered frame stream on the driver (best-of-N;
+    # first rep also pays plan warmup)
+    reps = int(os.environ.get("GRAFT_SUITE_REPS", "2")) + 1
+    best, n_frames = float("inf"), 0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        n_frames = sum(
+            len(fr)
+            for _, fr in frame_stream(
+                dataset_fn, frame_col="resp", batch_size=4096
+            )(-1)
+        )
+        best = min(best, time.perf_counter() - t0)
+
+    # end to end: the same stream through LiveSinkLoop over a real socket
+    server = LoopbackRespServer().start()
+    try:
+        t0 = time.perf_counter()
+        m = LiveSinkLoop(
+            RespEndpoint(server.address),
+            FilePositionStore(tempfile.mktemp(prefix="bench_live_pos")),
+            pos_save_every=8,
+        ).run(frame_stream(dataset_fn, frame_col="resp", batch_size=4096))
+        e2e = time.perf_counter() - t0
+        keys = len(server.snapshot())
+    finally:
+        server.stop()
+    return {
+        "metric": "live delivery (exact RESP frames, one socket)",
+        "value": round(m["frames_delivered"] / e2e, 1),
+        "unit": "frames/sec",
+        "frames": m["frames_delivered"],
+        "frame_stream_fps": round(n_frames / best, 1),
+        "e2e_loopback_fps": round(m["frames_delivered"] / e2e, 1),
+        "converged_keys": keys,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "phase_probe_mbps": round(probe, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    # live-delivery leg: engine frame-stream rate + end-to-end loopback
+    ap.add_argument("--live", action="store_true")
     # SURVEY §5.5 skew fixture: uniform-vs-~50%-hot-repo throughput ratio
     # plus sequential-oracle sha256 parity of the skewed converged lake
     ap.add_argument("--skew", action="store_true")
@@ -592,6 +684,8 @@ def main() -> None:
     try:
         if args.skew:
             out = run_skew()
+        elif args.live:
+            out = run_live()
         elif args.flagship_only:
             out = run_flagship_only()
         else:
