@@ -771,11 +771,20 @@ def run_app_live(
                 pos_save_every=pos_save_every,
                 ping_interval=ping_interval,
                 max_pings=max_pings,
+                # an injected sleep (tests/embedders faking time) must
+                # govern the recovery pings too, not only the poll loop
+                **({"sleep": sleep} if sleep is not None else {}),
             )
             pass_metrics[tbl] = loop.run(
                 frame_stream(
                     dataset_fn, frame_col=frame_col, seq_col="seq_in_txn",
                     batch_size=batch_size,
+                    # a follow pass's stream end is just "shards landed so
+                    # far" — a producer rolling files mid-transaction may
+                    # still owe the trailing gtid rows, so checkpoint only
+                    # COMPLETE transactions and redeliver the open one
+                    # whole next pass (live_sink.frame_stream docstring)
+                    final_tail=not follow,
                 )
             )
         return pass_metrics

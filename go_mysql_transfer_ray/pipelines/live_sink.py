@@ -152,8 +152,11 @@ class HttpBulkEndpoint:
         pass
 
     def _request(self, method: str, path: str, body: bytes = b"") -> bytes:
+        # Content-Type is mandatory against real ES (strict content-type
+        # checking since 6.0 → 406 without it); the bulk body is NDJSON
         head = (
             f"{method} {path} HTTP/1.1\r\nHost: {self.address[0]}\r\n"
+            f"Content-Type: application/x-ndjson\r\n"
             f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n"
         ).encode("latin-1")
         try:
@@ -163,18 +166,38 @@ class HttpBulkEndpoint:
                 sock.sendall(head + body)
                 rfile = sock.makefile("rb")
                 status = rfile.readline()
-                if not status.startswith(b"HTTP/1.1 200"):
+                # accept any HTTP/1.x 200 (proxies answer 1.0)
+                parts = status.split()
+                if len(parts) < 2 or not parts[0].startswith(b"HTTP/1.") \
+                        or parts[1] != b"200":
                     raise SinkError(f"{method} {path}: {status!r}")
-                length = 0
+                length: "int | None" = None
+                chunked = False
                 while True:
                     line = rfile.readline()
                     if line in (b"\r\n", b""):
                         break
                     name, _, value = line.decode("latin-1").partition(":")
-                    if name.strip().lower() == "content-length":
+                    name = name.strip().lower()
+                    if name == "content-length":
                         length = int(value.strip())
-                return rfile.read(length)
-        except OSError as e:
+                    elif name == "transfer-encoding":
+                        chunked = "chunked" in value.strip().lower()
+                if chunked:
+                    # minimal chunked-body decode (size line, data, CRLF)
+                    out = []
+                    while True:
+                        size = int(rfile.readline().split(b";")[0], 16)
+                        if size == 0:
+                            rfile.readline()  # trailing CRLF
+                            return b"".join(out)
+                        out.append(rfile.read(size))
+                        rfile.read(2)
+                if length is not None:
+                    return rfile.read(length)
+                # no framing header: Connection: close → body runs to EOF
+                return rfile.read()
+        except (OSError, ValueError) as e:
             raise SinkError(f"{method} {path}: {e}") from e
 
     def ping(self):
@@ -236,6 +259,7 @@ class LiveSinkLoop:
         pos_save_every: int = 4,
         ping_interval: float = 1.0,
         max_pings: int = 600,
+        max_consume_errors: "int | None" = None,
         sleep=time.sleep,
     ):
         self.endpoint = endpoint
@@ -243,6 +267,11 @@ class LiveSinkLoop:
         self.pos_save_every = pos_save_every
         self.ping_interval = ping_interval
         self.max_pings = max_pings
+        # None = reference parity (transfer_service retries forever); a
+        # bound turns a poison batch (-WRONGTYPE every time from a live,
+        # pingable sink — max_pings never trips for it) into a terminal
+        # SinkError instead of an unbounded redeliver spin
+        self.max_consume_errors = max_consume_errors
         self.sleep = sleep
         self.dest_state = DEST_STATE_OK
         self.metrics = {
@@ -282,11 +311,13 @@ class LiveSinkLoop:
         """Deliver the whole stream; returns the metrics dict (plus the
         final position under ``"position"``)."""
         position = self.store.load()
+        need_connect = True
         while True:
-            try:
-                self.endpoint.connect()
-            except SinkError:
-                self._wait_for_sink()
+            if need_connect:
+                try:
+                    self.endpoint.connect()
+                except SinkError:
+                    self._wait_for_sink()
             unsaved = 0
             try:
                 for batch_gtid, frames in stream_fn(position):
@@ -307,8 +338,19 @@ class LiveSinkLoop:
                 # handler.go:175-181: disable endpoint, stop the dump;
                 # the unacknowledged tail since the last save redelivers
                 self.metrics["consume_errors"] += 1
+                if (
+                    self.max_consume_errors is not None
+                    and self.metrics["consume_errors"]
+                    >= self.max_consume_errors
+                ):
+                    self.endpoint.close()
+                    raise
                 position = self.store.load()
                 self._wait_for_sink()
+                # _wait_for_sink returned with a connected, pinged
+                # endpoint — re-dialing at the loop top would waste a
+                # connection per recovery cycle
+                need_connect = False
 
 
 # ---------------------------------------------------------------------------
@@ -322,6 +364,8 @@ def frame_stream(
     gtid_col: str = "gtid",
     seq_col: "str | None" = None,
     batch_size: int = 1024,
+    final_tail: bool = True,
+    max_carry: "int | None" = None,
 ):
     """Build a ``stream_fn`` for ``LiveSinkLoop`` from a Dataset factory.
 
@@ -340,15 +384,33 @@ def frame_stream(
     rest of their transaction, so the ``batch_max_gtid`` the loop
     checkpoints never names a transaction whose tail is undelivered
     (the reference saves the position only on XID — commit — events,
-    /root/reference/service/handler.go:106-113, for the same reason)."""
+    /root/reference/service/handler.go:106-113, for the same reason).
+
+    ``final_tail``: with a BOUNDED stream (the default) end-of-stream
+    means the trailing transaction is complete, so its flush checkpoints
+    its own gtid.  Follow-mode passes set ``final_tail=False``: the pass
+    end is only "shards landed so far", and a producer rolling files
+    mid-transaction may still owe the trailing gtid more rows — the
+    flush then delivers the tail but checkpoints the LAST COMPLETE
+    transaction, so the next pass redelivers the open one whole
+    (at-least-once on the boundary txn; the keyed commands converge).
+
+    ``max_carry`` (default 8×batch_size): a bulk-load transaction of
+    millions of rows shares one gtid — slices of it stream out once the
+    hold-back buffer reaches this many frames, checkpointed at the last
+    complete gtid, so a giant transaction never materializes on the
+    driver."""
 
     import numpy as np
+
+    cap = max_carry if max_carry is not None else 8 * batch_size
 
     def stream(from_gtid: int):
         keys = [gtid_col] if seq_col is None else [gtid_col, seq_col]
         ds = dataset_fn(from_gtid).sort(keys)
         carry: "list[bytes]" = []  # frames of the trailing (open) gtid
         carry_gtid = -1
+        completed = int(from_gtid)  # gtid of the last fully-yielded txn
         for batch in ds.iter_batches(
             batch_size=batch_size, batch_format="pyarrow"
         ):
@@ -366,16 +428,24 @@ def frame_stream(
                 # carry (gtid ≤ gtids[0] ≤ gtids[cut-1]) + rows[:cut] are
                 # complete transactions — no later batch can revisit a
                 # gtid < last once the stream is sorted
-                yield int(gtids[cut - 1]), carry + frames[:cut]
+                completed = int(gtids[cut - 1])
+                yield completed, carry + frames[:cut]
                 carry, carry_gtid = frames[cut:], last
             elif carry and carry_gtid != last:
                 # whole batch is one NEW gtid: the carried txn closed
-                yield carry_gtid, carry
+                completed = carry_gtid
+                yield completed, carry
                 carry, carry_gtid = frames, last
             else:
                 carry += frames
                 carry_gtid = last
+            if len(carry) >= cap:
+                # giant open transaction: stream a slice now, checkpoint
+                # the last COMPLETE gtid (a failure redelivers the whole
+                # transaction — at-least-once) — bounded driver memory
+                yield completed, carry
+                carry = []  # carry_gtid stays: the txn is still open
         if carry:
-            yield carry_gtid, carry
+            yield (carry_gtid if final_tail else completed), carry
 
     return stream

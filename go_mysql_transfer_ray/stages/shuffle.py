@@ -299,8 +299,18 @@ def reap_stale_node_buffers(
                 )
         except RuntimeError:
             raise
+        except ray.exceptions.GetTimeoutError:
+            # alive but BUSY: an actor's tasks run serially, so a
+            # describe() queued behind a long append/flush (this box's
+            # degraded phases stall writes for minutes — BASELINE.md)
+            # times out while the buffer is perfectly healthy.  Killing
+            # it would silently drop a concurrent run's buffered rows —
+            # skip; a truly dead actor raises RayActorError instead, and
+            # a wedged-but-idle one is reaped once describe() answers
+            # with aged_out.
+            continue
         except Exception:
-            # unresponsive / pre-describe actor version: treat as wedged
+            # dead / pre-describe actor version: treat as wedged
             pass
         try:
             ray.kill(actor)

@@ -501,3 +501,82 @@ def test_property_no_row_lost_any_txn_shape(
         assert [s for _, s in runs[g]] == list(range(size)), (
             f"txn {g} rows not delivered contiguously in seq order"
         )
+
+
+def test_follow_style_pass_holds_checkpoint_before_open_txn(tmp_path):
+    """A follow pass (final_tail=False) whose stream ends mid-transaction
+    must deliver the tail but checkpoint only the last COMPLETE txn —
+    when the rest of the transaction lands in a later shard, the next
+    pass redelivers it whole and nothing is lost (a bounded stream with
+    final_tail=True would have checkpointed the open gtid and pruned the
+    late half forever)."""
+    store = FilePositionStore(str(tmp_path / "pos.json"))
+    # pass 1 sees gtid 1 complete + the FIRST half of gtid 2
+    first = pa.table(
+        {
+            "gtid": pa.array([1, 2], pa.int64()),
+            "seq_in_txn": pa.array([0, 0], pa.int32()),
+            "frame": pa.array(["a=1", "b=2"], pa.string()),
+        }
+    )
+    ep = _RecordingEndpoint()
+    m1 = LiveSinkLoop(ep, store, ping_interval=0.0, sleep=lambda dt: None).run(
+        frame_stream(
+            _txn_dataset_fn(first), frame_col="frame", seq_col="seq_in_txn",
+            batch_size=64, final_tail=False,
+        )
+    )
+    assert m1["frames_delivered"] == 2  # the open tail IS delivered
+    assert m1["position"] == 1  # but the checkpoint stays at the commit
+    # pass 2: the producer's next file completes gtid 2 and adds gtid 3
+    both = pa.table(
+        {
+            "gtid": pa.array([1, 2, 2, 3], pa.int64()),
+            "seq_in_txn": pa.array([0, 0, 1, 0], pa.int32()),
+            "frame": pa.array(["a=1", "b=2", "c=3", "d=4"], pa.string()),
+        }
+    )
+    m2 = LiveSinkLoop(ep, store, ping_interval=0.0, sleep=lambda dt: None).run(
+        frame_stream(
+            _txn_dataset_fn(both), frame_col="frame", seq_col="seq_in_txn",
+            batch_size=64, final_tail=False,
+        )
+    )
+    # gtid 2 redelivered WHOLE (b at-least-once, c for the first time)
+    assert ep.state == {"a": "1", "b": "2", "c": "3", "d": "4"}
+    assert m2["position"] == 2  # gtid 3 is now the open tail
+
+
+def test_giant_txn_streams_in_bounded_slices(tmp_path):
+    """One transaction larger than max_carry streams out in slices
+    (bounded driver memory) checkpointed at the last complete gtid."""
+    n = 50
+    tab = pa.table(
+        {
+            "gtid": pa.array([1] + [2] * n + [3], pa.int64()),
+            "seq_in_txn": pa.array([0] + list(range(n)) + [0], pa.int32()),
+            "frame": pa.array(
+                ["a=1"] + [f"k{i}=v" for i in range(n)] + ["z=9"], pa.string()
+            ),
+        }
+    )
+    ep = _RecordingEndpoint()
+    saves = []
+    store = FilePositionStore(str(tmp_path / "pos.json"))
+    orig_save = store.save
+    store.save = lambda g: (saves.append(g), orig_save(g))[1]
+    m = LiveSinkLoop(
+        ep, store, pos_save_every=1, ping_interval=0.0, sleep=lambda dt: None,
+    ).run(
+        frame_stream(
+            _txn_dataset_fn(tab), frame_col="frame", seq_col="seq_in_txn",
+            batch_size=4, max_carry=8,
+        )
+    )
+    assert m["position"] == 3
+    assert len(ep.state) == n + 2  # nothing lost
+    # the giant txn went out in multiple micro-batches, and every
+    # checkpoint taken while it was open names gtid 1, never gtid 2
+    assert m["batches_delivered"] > 3
+    assert all(g in (1, 2, 3) for g in saves)
+    assert 1 in saves  # mid-txn slices checkpointed at the commit before
