@@ -1914,9 +1914,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (functions/lua_mini.py: math.random interval validation);
     # (2) the 13 queries whose last green row dates to r3 re-enter the
     # window to refresh their evidence; (3) the remaining slots re-green
-    # r4-verified operators.  The 15-entry tail holds only queries green
-    # in CORRECTNESS_r04 whose modules (stages/redis_state.py,
-    # pipelines/datapipe.py, functions/text.py) are untouched this round.
+    # r4-verified operators, including the dedup/ANN/shard/split/pack
+    # family whose module (pipelines/datapipe.py) changed late in r5.
+    # The 15-entry tail holds only queries green in CORRECTNESS_r04 whose
+    # code paths (stages/redis_state.py, pipelines/windows.py,
+    # functions/text.py, datapipe group_topk/vocab/decontaminate) are
+    # untouched this round.
     return {
         # --- (1) code paths changed in r5 -------------------------------
         "live_resp_state": q_live_resp_state,
@@ -1957,11 +1960,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_key_lineitem": q_composite_key_lineitem,
         "events_filter_project": q_events_filter_project,
         "fingerprints": q_fingerprints,
-        "window_daily_stats": q_window_daily_stats,
-        "hopping_daily_stats": q_hopping_daily_stats,
         "sessionize": q_sessionize,
-        "asof_last_purchase": q_asof_last_purchase,
         "chunk_documents": q_chunk_documents,
+        # datapipe.py changed late in r5 (_knuth_hash consolidation,
+        # exact-integer pack ranges) — these three re-enter the window
+        "deterministic_shard": q_deterministic_shard,
+        "train_test_split": q_train_test_split,
+        "pack_sequences": q_pack_sequences,
         "dedup_exact": q_dedup_exact,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
@@ -1979,9 +1984,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redis_set_state": q_redis_set_state,
         "redis_list_state": q_redis_list_state,
         "group_topk": q_group_topk,
-        "deterministic_shard": q_deterministic_shard,
-        "train_test_split": q_train_test_split,
-        "pack_sequences": q_pack_sequences,
+        "window_daily_stats": q_window_daily_stats,
+        "hopping_daily_stats": q_hopping_daily_stats,
+        "asof_last_purchase": q_asof_last_purchase,
         "group_lang_stats": q_group_lang_stats,
         "repetition_stats": q_repetition_stats,
         "vocab_topk": q_vocab_topk,

@@ -196,6 +196,31 @@ def _runs(sorted_cols: "list[np.ndarray]") -> "tuple[np.ndarray, np.ndarray]":
     return starts, ends
 
 
+def _check_offsets(n_values: int, step: int) -> None:
+    """Arrow ``binary`` offsets are int32: a batch whose packed payload
+    would cross 2 GB wraps SILENTLY in ``np.arange(..., dtype=int32)``
+    and corrupts every downstream signature — fail loudly instead
+    (callers can lower batch_size or switch to large_binary)."""
+    if (n_values + 1) * step >= 2**31:
+        raise ValueError(
+            f"binary payload {(n_values + 1) * step} bytes overflows int32 "
+            "offsets — reduce batch_size (or widen to large_binary)"
+        )
+
+
+def _knuth_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Knuth multiplicative hash → uint64 in [0, 2^32): THE shared id
+    hash behind train/test splitting, stratified sampling and
+    deterministic sharding.  Its exact form is part of the driver-oracle
+    contract (restated in SQL in ``__ray_entry__.py``) — change it in
+    one place or not at all.  ``% 1000`` of the result is the permille
+    bucket."""
+    u = ids.astype(np.uint64)
+    if seed:
+        u = u + np.uint64(seed)
+    return (u * np.uint64(2654435761)) % np.uint64(4294967296)
+
+
 def _ensure_schema(ds, schema: "dict[str, pa.DataType]"):
     """Pin a dataset's block schema after ``groupby().map_groups``.
 
@@ -209,6 +234,15 @@ def _ensure_schema(ds, schema: "dict[str, pa.DataType]"):
     def fn(t: pa.Table) -> pa.Table:
         if all(c in t.column_names for c in names):
             return t.select(names)
+        if t.num_rows:
+            # only the schema-less EMPTY blocks map_groups emits are
+            # replaced — a block WITH rows missing a declared column is
+            # an upstream bug that must fail loudly, not vanish
+            missing = [c for c in names if c not in t.column_names]
+            raise ValueError(
+                f"non-empty block ({t.num_rows} rows) missing declared "
+                f"columns {missing}; refusing to drop data"
+            )
         return pa.table({c: pa.array([], schema[c]) for c in names})
 
     return ds.map_batches(fn, batch_format="pyarrow")
@@ -599,6 +633,7 @@ class MinHasher:
         sig = sketch.minhash_signatures(sh, soff, self.num_perm, self.seed)
         blobs = sig.astype("<u8").tobytes()
         step = self.num_perm * 8
+        _check_offsets(sig.shape[0], step)
         offsets = np.arange(0, (sig.shape[0] + 1) * step, step, dtype=np.int32)
         arr = pa.BinaryArray.from_buffers(
             pa.binary(), sig.shape[0],
@@ -807,11 +842,22 @@ def simhash_dedup(
     )
 
     def hexify(t: pa.Table) -> pa.Table:
+        import binascii
+
         h = t.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        if len(h):
+            # vectorized 016x: big-endian bytes → hexlify → 16-char rows
+            # (no per-row Python formatting in the final map stage)
+            hx = np.frombuffer(
+                binascii.hexlify(h.astype(">u8").tobytes()), dtype="S16"
+            ).astype("U16")
+            sim = pa.array(hx, pa.string())
+        else:
+            sim = pa.array([], pa.string())
         return pa.table(
             {
                 id_col: t.column(id_col),
-                "simhash": pa.array([f"{x:016x}" for x in h], pa.string()),
+                "simhash": sim,
                 "cluster_id": t.column("cluster_id"),
             }
         )
@@ -1013,6 +1059,8 @@ def lsh_prune(
     wanted_ref = ray.put(wanted_arr)
 
     def filter_buckets(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # fully-pruned / empty upstream block
+            return batch
         mat = np.stack(batch.column(vec_col).to_numpy(zero_copy_only=False)).astype(
             np.float32
         )
@@ -1084,12 +1132,13 @@ def embedding_dedup(
     the defaults).  Returns distinct pairs (a, b, cosine ≥ threshold),
     a<b.
     """
-    if planes is None:
-        n = ds.count()
-        planes = max(4, int(np.log2(max(n, 256) / 16.0)))
     L, seed0 = tables, seed
 
     def normalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty upstream block
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "vec": pa.array([], pa.binary())}
+            )
         mat = np.stack(
             batch.column(vec_col).to_numpy(zero_copy_only=False)
         ).astype(np.float32)
@@ -1098,6 +1147,7 @@ def embedding_dedup(
         n_, dim = norm.shape
         blobs = norm.astype("<f4").tobytes()
         step = dim * 4
+        _check_offsets(n_, step)
         offs = np.arange(0, (n_ + 1) * step, step, dtype=np.int32)
         vec_bin = pa.BinaryArray.from_buffers(
             pa.binary(), n_,
@@ -1106,8 +1156,13 @@ def embedding_dedup(
         return pa.table({id_col: ids, "vec": vec_bin})
 
     # normalized vectors stay as object-store blocks (materialize keeps
-    # them off the driver); everything downstream references them by id
+    # them off the driver); everything downstream references them by id.
+    # planes sizing counts the MATERIALIZED vectors — counting the lazy
+    # input would execute the whole upstream pipeline an extra time.
     vecs = ds.map_batches(normalize, batch_format="pyarrow").materialize()
+    if planes is None:
+        n = vecs.count()
+        planes = max(4, int(np.log2(max(n, 256) / 16.0)))
 
     def explode_buckets(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -1268,6 +1323,7 @@ def ngram_sets_ds(
         ud, uv = sd[first], np.ascontiguousarray(sv[first]).astype("<u8")
         ucnt = np.bincount(ud, minlength=ndocs).astype(np.int64)
         uoff = np.r_[0, np.cumsum(ucnt)]
+        _check_offsets(len(uv), 8)
         ngrams = pa.BinaryArray.from_buffers(
             pa.binary(), ndocs,
             [
@@ -1460,8 +1516,31 @@ def ivf_prune(
     driver query can export the pruned id set as an oracle relation (the
     SQL oracle states exact top-k over this subset)."""
     q = np.asarray(queries, dtype=np.float32)
+    # k-means training sample must SPREAD across the corpus: a plain
+    # limit() takes the first blocks, and a corpus written in clustered
+    # order (by lang/time/source) would train the quantizer on one
+    # region of embedding space, collapsing recall everywhere else.
+    # Deterministic spread = keep rows whose Knuth id-hash falls under a
+    # permille sized to ~1.5× the sample, then cap.
+    n_corpus = ds.count()
+    frac_permille = min(
+        1000, max(1, int(1000 * 1.5 * sample_size / max(n_corpus, 1)))
+    )
+
+    def spread(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keep = (_knuth_hash(ids) % np.uint64(1000)) < frac_permille
+        return t.filter(pa.array(keep))
+
     sample = np.stack(
-        ds.limit(sample_size).to_pandas()[vec_col].to_numpy()
+        ds.map_batches(spread, batch_format="pyarrow")
+        .limit(sample_size)
+        .to_pandas()[vec_col]
+        .to_numpy()
     ).astype(np.float32)
     cent = _kmeans(sample, nlist, seed=seed)
     qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
@@ -1471,6 +1550,8 @@ def ivf_prune(
     wanted_ref = ray.put(wanted)
 
     def filter_lists(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty upstream block
+            return batch
         c = ray.get(cent_ref)
         mat = np.stack(
             batch.column(vec_col).to_numpy(zero_copy_only=False)
@@ -1532,8 +1613,8 @@ def train_test_split(
     to reproduce in SQL, which is how the driver oracle checks it)."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = ((ids * np.uint64(2654435761)) % np.uint64(4294967296)) % np.uint64(1000)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bucket = _knuth_hash(ids) % np.uint64(1000)
         split = np.where(
             bucket < train_permille,
             "train",
@@ -1663,10 +1744,8 @@ def stratified_sample(
     The canonical down-sampling step of a training-data mix."""
 
     def fn(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
-        bucket = (
-            (ids * np.uint64(2654435761)) % np.uint64(4294967296)
-        ) % np.uint64(1000)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        bucket = _knuth_hash(ids) % np.uint64(1000)
         strata = t.column(stratum_col).to_numpy(zero_copy_only=False)
         limits = np.full(len(ids), default_permille, dtype=np.int64)
         for s, rate in rates_permille.items():
@@ -1700,10 +1779,11 @@ def pack_sequences(
     def prep(t: pa.Table) -> pa.Table:
         ntok = textfn.token_count(t.column(text_col))
         ids = pc.cast(t.column(id_col), pa.int64())
-        rid = pc.cast(
-            pc.floor(pc.divide(pc.cast(ids, pa.float64()), float(range_size))),
-            pa.int64(),
-        )
+        # exact int64 floor division — a float64 route rounds ids ≥ 2^53
+        # before dividing, putting boundary docs in the adjacent range
+        # and diverging from the oracle's integer `doc_id // range_size`
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        rid = pa.array(ids_np // np.int64(range_size), pa.int64())
         return pa.table({id_col: ids, "n_tokens": ntok, "_range": rid})
 
     def fold(group: pa.Table) -> pa.Table:
@@ -1912,6 +1992,7 @@ def connected_components(
             .map_batches(_cc_single_task, batch_size=None, batch_format="pyarrow")
         )
     prev = None
+    converged = False
     for _ in range(max_iterations):
         ls = star_round(edges, large_star)
         combined = ls.union(edges).map_batches(canon, batch_format="pyarrow")
@@ -1922,8 +2003,20 @@ def connected_components(
         ).materialize()
         cur = checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # emit_labels assumes a star forest (every edge points at its
+        # component root); a non-converged edge set would silently give
+        # one component several cluster_ids — corrupt dedup output.
+        # large/small-star halves the diameter per round, so 20 rounds
+        # cover astronomically deep chains; hitting the cap means
+        # something is wrong — fail loudly, never emit wrong labels.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} large/small-star rounds"
+        )
 
     # star forest → labels: every edge (a,b) has b = component root
     def emit_labels(t: pa.Table) -> pa.Table:
@@ -2197,12 +2290,9 @@ def deterministic_shard(
     Output: (id, shard, h, pos) with ``pos`` 0-based within shard."""
     from ..stages.shuffle import storage_fold
 
-    mult = np.uint64(2654435761)
-    mod = np.uint64(4294967296)
-
     def add_shard(t: pa.Table) -> pa.Table:
         ids = pc.cast(t.column(id_col), pa.int64()).to_numpy(zero_copy_only=False)
-        h = ((ids.astype(np.uint64) + np.uint64(seed)) * mult) % mod
+        h = _knuth_hash(ids, seed=seed)
         shard = (h % np.uint64(n_shards)).astype(np.int32)
         return pa.table(
             {
