@@ -65,6 +65,11 @@ def _code_digest(code) -> bytes:
     import types
 
     h = hashlib.sha256(code.co_code)
+    # co_names distinguishes lambdas whose bytecode differs only in WHICH
+    # global they call (LOAD_GLOBAL is an index into co_names) — without
+    # it two such transforms share a signature and wrongly fence each
+    # other's finished partitions
+    h.update("\x00".join(code.co_names).encode())
     for c in code.co_consts:
         if isinstance(c, types.CodeType):
             h.update(_code_digest(c))
@@ -83,8 +88,25 @@ def _fn_sig(fn) -> "str | None":
     Captured functions recurse through this same signature."""
     if fn is None:
         return None
+    import functools
+
+    if isinstance(fn, functools.partial):
+        # repr(partial) embeds the wrapped function's address — unstable
+        # across processes; recurse into the parts instead
+        inner = _fn_sig(fn.func) or repr(fn.func)
+        kw = sorted((fn.keywords or {}).items())
+        return f"partial({inner}, args={fn.args!r}, kw={kw!r})"
     h = hashlib.sha256()
     code = getattr(fn, "__code__", None)
+    if code is None:
+        # callable class instance: identify by its __call__ bytecode +
+        # instance state (repr(fn) would embed a memory address and
+        # break fencing across driver restarts)
+        call = getattr(type(fn), "__call__", None)
+        code = getattr(call, "__code__", None)
+        state = getattr(fn, "__dict__", None)
+        if state:
+            h.update(repr(sorted(state.items())).encode())
     if code is not None:
         h.update(_code_digest(code))
     for cell in getattr(fn, "__closure__", None) or ():
@@ -102,7 +124,8 @@ def _fn_sig(fn) -> "str | None":
     kwd = getattr(fn, "__kwdefaults__", None)
     if kwd:
         h.update(repr(sorted(kwd.items())).encode())
-    return f"{getattr(fn, '__qualname__', repr(fn))}:{h.hexdigest()[:16]}"
+    name = getattr(fn, "__qualname__", None) or type(fn).__qualname__
+    return f"{name}:{h.hexdigest()[:16]}"
 
 
 def event_files(events_dir: str) -> list[str]:
@@ -392,6 +415,7 @@ def replay(
     # them.  The reference reads full rows always (canal hands it complete
     # row images); this is the Ray-side win of a declarative rule.
     pushdown: "tuple[tuple[str, ...], tuple[tuple[str, str], ...]] | None" = None
+    rename_map: "dict[str, str] | None" = None  # wrapped name → source column
     if rule_config is not None:
         if udf is not None:
             final_cols = None  # UDF may add columns: derive from the data
@@ -400,6 +424,7 @@ def replay(
 
             plan = RulePlan(rule_config, _stream_specs(ddl_events))
             final_cols = list(plan.output_order)
+            rename_map = {p.wrap_name: p.column_name for p in plan.paddings}
             # decode builds the merge key from the TABLE's PKs (not the
             # rule's), so they must survive the projection even when the
             # rule excludes them or keys on other columns
@@ -441,12 +466,21 @@ def replay(
             num_partitions,
         )
     )
+    # extra_events bypass the fence entirely: they are invisible to the
+    # watermark AND the plan signature (a Dataset has no stable digest),
+    # so a fenced short-circuit would silently ignore the injected rows
     skip = (
         mstate.finished_partitions(out_dir, watermark, plan_sig)
-        if resume
+        if resume and extra_events is None
         else frozenset()
     )
     if len(skip) >= num_partitions:
+        # repair the finalization window (both steps idempotent): a crash
+        # AFTER the last partition write but BEFORE reconcile/save_schema
+        # would otherwise leave stale old-plan partitions and unpersisted
+        # DDL history hidden behind the fence forever
+        mstate.remove_partitions_except(out_dir, skip)
+        mstate.save_schema(out_dir, ddl_events)
         ms = mstate.load_manifests(out_dir)
         return {
             "watermark": watermark,
@@ -526,6 +560,13 @@ def replay(
             name: _PAD_TYPES.get(mtype, pa.string())
             for name, mtype in _ddl_columns(ddl_events)
         }
+        # a rule renames/case-transforms columns: the merge sees the
+        # WRAPPED names, so pad types must be keyed by them too (else a
+        # renamed int64 DDL column gets string nulls and the delta
+        # concat crashes on the type clash)
+        for wrapped, source in (rename_map or {}).items():
+            if source in ddl_types and wrapped not in ddl_types:
+                ddl_types[wrapped] = ddl_types[source]
         base_schema = read_lake(base_dir).schema().base_schema
         missing = {"repo", "path"} - set(base_schema.names)
         if missing:
@@ -545,8 +586,12 @@ def replay(
                 return t
             cols = {}
             for c in want:
-                if c in t.column_names:
-                    cols[c] = t.column(c)
+                # the base lake stores SOURCE names; a renaming rule's
+                # final columns are wrapped — read the value through the
+                # rename so base rows keep their data under the new name
+                src = c if c in t.column_names else (rename_map or {}).get(c, c)
+                if src in t.column_names:
+                    cols[c] = t.column(src)
                 else:
                     cols[c] = pa.nulls(t.num_rows, ddl_types.get(c, pa.string()))
             return pa.table(cols)
@@ -755,11 +800,17 @@ def replay_multi(
         else frozenset()
     )
     if len(skip) >= num_partitions:
+        # same finalization-window repair as replay(): reconcile + DDL
+        # persistence are idempotent, so redo them behind the fence
         total = 0
         for t in tables:
+            tdir = os.path.join(out_dir, t)
+            mstate.remove_partitions_except(tdir, skip)
+            mstate.save_schema(tdir, ddl_by_table[t])
             total += sum(
-                m["rows"] for m in mstate.load_manifests(os.path.join(out_dir, t)).values()
+                m["rows"] for m in mstate.load_manifests(tdir).values()
             )
+        mstate.remove_partitions_except(out_dir, skip)
         return {
             "watermark": watermark,
             "parts_written": 0,

@@ -345,7 +345,10 @@ def generate_shard(
     before_ver = _before_ver
 
     # --- arity ------------------------------------------------------------
-    col_count = (5 + n_ddls_before).astype(np.int32)
+    # base arity derives from the schema registry — a literal 5 here
+    # desyncs silently if TABLE_COLUMNS['repos'] ever grows (the decoder
+    # counts len(TABLE_COLUMNS), and a mismatch drops every row)
+    col_count = (len(TABLE_COLUMNS[TABLE_NAME]) + n_ddls_before).astype(np.int32)
     bad = np.zeros(n, dtype=bool)
     if cfg.bad_arity_permille:
         bad = (_h(cfg.seed, 43, key_idx, ordinal) % _U64(1000)) < _U64(
@@ -544,7 +547,12 @@ def materialize_events(
         return out
     ranges, n = _shard_key_ranges(cfg, shards)
     bounds = _ddl_bounds(cfg, n)
-    tmp = out + ".tmp"
+    # per-process tmp: a shared deterministic tmp dir lets a concurrent
+    # generator (bench + pytest) write into the SAME directory; after the
+    # winner os.replace()s it away, the loser's open shard handles keep
+    # writing into the COMMITTED files (rename moves the inode, not the
+    # fd) — transiently corrupting a published cache
+    tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
 
     jobs = [
@@ -789,7 +797,12 @@ def materialize_multi_events(
     sh_b = max(1, shards - sh_a)
     ranges_a, _ = _shard_key_ranges(cfg, sh_a)
     ranges_b, _ = _shard_key_ranges(ucfg, sh_b, _user_key_counts)
-    tmp = out + ".tmp"
+    # per-process tmp: a shared deterministic tmp dir lets a concurrent
+    # generator (bench + pytest) write into the SAME directory; after the
+    # winner os.replace()s it away, the loser's open shard handles keep
+    # writing into the COMMITTED files (rename moves the inode, not the
+    # fd) — transiently corrupting a published cache
+    tmp = f"{out}.tmp.{os.getpid()}"
     os.makedirs(tmp, exist_ok=True)
 
     jobs = []

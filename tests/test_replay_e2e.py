@@ -431,3 +431,79 @@ def test_scan_facts_chunked_paths_match_serial(tmp_path, monkeypatch):
     assert sorted(
         d["gtid"] for ds in multi["ddl_by_table"].values() for d in ds
     ) == sorted(d["gtid"] for d in serial["ddl_events"])
+
+
+def test_fenced_rerun_repairs_finalization_window(tmp_path):
+    """A crash AFTER the last partition write but BEFORE save_schema /
+    reconcile must be repaired by the (fully-fenced) rerun: the DDL
+    history is re-persisted so a later incremental tail still decodes
+    post-ALTER arities, instead of silently dropping every row."""
+    import json
+    import os
+
+    cfg = BinlogConfig(num_keys=150, avg_events_per_key=4.0, delete_pct=10)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+    m1 = cdc.replay(events_dir, out, num_partitions=8)
+    assert not m1["resumed"]
+    schema_path = os.path.join(out, "_manifests", "_schema.json")
+    assert os.path.exists(schema_path)
+    saved = json.load(open(schema_path))
+    assert saved  # the stream's DDL landed in the history
+
+    # simulate the crash window: manifests durable, schema not persisted
+    os.unlink(schema_path)
+    m2 = cdc.replay(events_dir, out, num_partitions=8)
+    assert m2["resumed"] and m2["parts_written"] == 0  # fenced rerun
+    assert os.path.exists(schema_path)  # ...repaired the window
+    assert json.load(open(schema_path)) == saved
+
+
+def test_extra_events_bypass_the_fence(tmp_path):
+    """Injected extra_events are invisible to the watermark and the plan
+    signature — a fenced short-circuit would silently ignore them, so
+    their presence must force a recompute."""
+    import pyarrow as pa
+
+    import ray.data
+
+    cfg = BinlogConfig(num_keys=100, avg_events_per_key=3.0, delete_pct=0)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+    out = str(tmp_path / "lake")
+    m1 = cdc.replay(events_dir, out, num_partitions=8)
+    rows_before = cdc.lake_table(out).num_rows
+
+    # an extra insert with a brand-new key, gtid far past the watermark
+    from go_mysql_transfer_ray.schema import row_image_type
+
+    img = row_image_type()
+    row = {f.name: None for f in img}
+    row.update(repo="org0/extra", path="x.py", commit="c" * 40,
+               lang="py", content="x")
+    extra = ray.data.from_arrow(
+        pa.table(
+            {
+                "gtid": pa.array([10**9], pa.int64()),
+                "seq_in_txn": pa.array([0], pa.int32()),
+                "pos": pa.array([10**9], pa.int64()),
+                "ts": pa.array([0], pa.timestamp("ms")),
+                "op": pa.array(["insert"], pa.string()),
+                "table": pa.array(["repos"], pa.string()),
+                # gtid 10^9 sits past the stream's one ALTER, so the
+                # arity guard expects the widened width (5 base + 1 DDL)
+                "col_count": pa.array([6], pa.int32()),
+                "before": pa.array([None], img),
+                "after": pa.array([row], img),
+                "ddl": pa.array(
+                    [None],
+                    pa.struct([("add_column", pa.string()),
+                               ("arrow_type", pa.string())]),
+                ),
+            }
+        )
+    )
+    m2 = cdc.replay(events_dir, out, num_partitions=8, extra_events=extra)
+    assert not m2["resumed"]  # fence bypassed, recompute happened
+    after = cdc.lake_table(out)
+    assert after.num_rows == rows_before + 1
+    assert "org0/extra" in set(after.column("repo").to_pylist())

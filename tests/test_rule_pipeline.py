@@ -360,3 +360,38 @@ def test_full_width_rule_skips_pushdown(tmp_path, monkeypatch):
     engine, _ = run(tmp_path, rule_config=rule)
     assert called == []
     assert engine.num_rows == len(oracle.replay_full(generate(CFG).table))
+
+
+def test_stock_base_pads_renamed_ddl_column_with_right_type(tmp_path):
+    """A rule that renames/case-transforms columns makes the merge see
+    WRAPPED names; the stock base's null padding for a DDL-added column
+    must use the DDL's coerced type under that wrapped name (a string
+    pad against the rule stage's int64 STARS crashed the delta concat)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cfg = BinlogConfig(num_keys=120, avg_events_per_key=3.0, delete_pct=10,
+                       ddl_at=0.4)
+    events_dir = materialize_events(cfg, root=str(tmp_path / "ev"), shards=2)
+
+    base_rows = {
+        "repo": [f"base/r{i}" for i in range(10)],
+        "path": [f"p{i}.py" for i in range(10)],
+        "commit": ["c" * 40] * 10,
+        "lang": ["python"] * 10,
+        "content": [f"base {i}" for i in range(10)],
+    }
+    base_path = str(tmp_path / "base.parquet")
+    pq.write_table(pa.table(base_rows), base_path)
+
+    out = str(tmp_path / "lake")
+    cdc.stock_import(base_path, out, num_partitions=8)
+    rule = RuleConfig(column_upper_case=True)
+    cdc.replay(events_dir, out, num_partitions=8, base_dir=out,
+               rule_config=rule)
+    lake = cdc.lake_table(out)
+    assert "STARS" in lake.column_names
+    assert pa.types.is_integer(lake.schema.field("STARS").type)
+    # untouched base keys survive with a null (typed) STARS pad
+    repos = set(lake.column("REPO").to_pylist())
+    assert any(r.startswith("base/") for r in repos)
