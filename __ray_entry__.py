@@ -1914,14 +1914,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (functions/lua_mini.py: math.random interval validation);
     # (2) the 13 queries whose last green row dates to r3 re-enter the
     # window to refresh their evidence; (3) the remaining slots re-green
-    # r4-verified operators, including the dedup/ANN/shard/split/pack
-    # family whose module (pipelines/datapipe.py) changed late in r5.
-    # The 15-entry tail holds only queries green in CORRECTNESS_r04 whose
-    # code paths (stages/redis_state.py, pipelines/windows.py,
-    # functions/text.py, datapipe group_topk/vocab/decontaminate) are
-    # untouched this round.
+    # r4-verified operators, including every family whose module changed
+    # late in r5 (pipelines/datapipe.py dedup/ANN/shard/split/pack,
+    # stages/redis_state.py score/stringify parity, windows.py asof,
+    # functions/encoders.py encode_json).  The 15-entry tail holds only
+    # queries green in a prior round whose CODE PATHS are untouched this
+    # round (functions/text.py, dateformat, es_mapping, the tumbling/
+    # hopping aggregate functions, datapipe group_topk/vocab/
+    # decontaminate).
     return {
         # --- (1) code paths changed in r5 -------------------------------
+        "redis_string_state": q_redis_string_state,
+        "redis_hash_state": q_redis_hash_state,
+        "redis_zset_state": q_redis_zset_state,
+        "redis_set_state": q_redis_set_state,
+        "redis_list_state": q_redis_list_state,
+        "asof_last_purchase": q_asof_last_purchase,
         "live_resp_state": q_live_resp_state,
         "live_es_state": q_live_es_state,
         "media_features": q_media_features,
@@ -1939,17 +1947,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lua_mongo_upsert": q_lua_mongo_upsert,
         "lua_es_ops": q_lua_es_ops,
         # --- (2) last green row is r3 — refresh the evidence -------------
-        "doc_token_counts": q_doc_token_counts,
-        "tpch_q1ish": q_tpch_q1ish,
         "value_encoder_kv": q_value_encoder_kv,
         "value_encoder_json": q_value_encoder_json,
         "value_encoder_vcommas": q_value_encoder_vcommas,
         "value_formatter_template": q_value_formatter_template,
-        "es_mapping_infer": q_es_mapping_infer,
         "es6_bulk_ops": q_es6_bulk_ops,
-        "date_format_orders": q_date_format_orders,
-        "lookup_join_nation": q_lookup_join_nation,
-        "doc_quality": q_doc_quality,
         "redact_text": q_redact_text,
         "stratified_sample": q_stratified_sample,
         # --- (3) r4-green, untouched — re-verified while room remains ----
@@ -1978,15 +1980,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_distributed": q_dedup_clusters_distributed,
         # ---------------- 50-slot window boundary -------------------------
         # --- stable tail: green in r4, modules untouched this round ------
-        "redis_string_state": q_redis_string_state,
-        "redis_hash_state": q_redis_hash_state,
-        "redis_zset_state": q_redis_zset_state,
-        "redis_set_state": q_redis_set_state,
-        "redis_list_state": q_redis_list_state,
+        "doc_token_counts": q_doc_token_counts,
+        "tpch_q1ish": q_tpch_q1ish,
+        "date_format_orders": q_date_format_orders,
+        "lookup_join_nation": q_lookup_join_nation,
+        "doc_quality": q_doc_quality,
+        "es_mapping_infer": q_es_mapping_infer,
         "group_topk": q_group_topk,
         "window_daily_stats": q_window_daily_stats,
         "hopping_daily_stats": q_hopping_daily_stats,
-        "asof_last_purchase": q_asof_last_purchase,
         "group_lang_stats": q_group_lang_stats,
         "repetition_stats": q_repetition_stats,
         "vocab_topk": q_vocab_topk,

@@ -49,8 +49,11 @@ def _escape_html_like_go(s: str) -> str:
 
 def encode_json(kv: dict) -> str:
     """Go ``json.Marshal(map[string]interface{})``: sorted keys, compact,
-    HTML-escaped (endpoint.go:233-240)."""
-    return _escape_html_like_go(json.dumps(kv, separators=(",", ":"), sort_keys=True))
+    HTML-escaped (endpoint.go:233-240).  ``ensure_ascii=False`` because
+    Go emits raw UTF-8 payload bytes — only <, >, & are escaped."""
+    return _escape_html_like_go(
+        json.dumps(kv, separators=(",", ":"), sort_keys=True, ensure_ascii=False)
+    )
 
 
 def encode_kv_commas(kv: dict, order: list[str] | None = None) -> str:

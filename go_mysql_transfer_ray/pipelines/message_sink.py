@@ -51,7 +51,7 @@ class EnvelopeBuilder:
                 for r in projected.to_pylist()
             ]
         return [
-            _escape_html_like_go(json.dumps(s))
+            _escape_html_like_go(json.dumps(s, ensure_ascii=False))
             for s in self.plan.encode_values(projected).to_pylist()
         ]
 
@@ -59,12 +59,20 @@ class EnvelopeBuilder:
         projected = self.plan.apply(batch)
         dates = self._encode_rows(projected)
         ops = batch.column("op").to_pylist()
-        # reference Timestamp is epoch seconds (uint32, e.Header.Timestamp)
-        ts = batch.column("ts").cast(pa.timestamp("s")).cast(pa.int64()).to_pylist()
+        # reference Timestamp is epoch seconds (uint32, e.Header.Timestamp);
+        # a null ts (external ingests without ts_ms) must render as 0, not
+        # the Python literal None — None is not valid JSON
+        ts = pa.compute.fill_null(
+            batch.column("ts").cast(pa.timestamp("s")).cast(pa.int64()), 0
+        ).to_pylist()
 
         raws: list[str | None] = [None] * len(ops)
-        if self.reserve_raw and "before" in batch.column_names:
-            before = batch.column("before")
+        upd_idx = [i for i, op in enumerate(ops) if op == "update"]
+        if self.reserve_raw and upd_idx and "before" in batch.column_names:
+            # only update rows consume the before image — project and box
+            # just those rows, not the whole batch
+            sub = batch.take(pa.array(upd_idx, pa.int64()))
+            before = sub.column("before")
             flat = pa.table(
                 {
                     f.name: pa.compute.struct_field(before, f.name)
@@ -77,9 +85,8 @@ class EnvelopeBuilder:
             order = [
                 c for c in self.plan.output_order if c in old_projected.column_names
             ]
-            for i, op in enumerate(ops):
-                if op == "update":
-                    raws[i] = encode_json({k: old_rows[i].get(k) for k in order})
+            for j, i in enumerate(upd_idx):
+                raws[i] = encode_json({k: old_rows[j].get(k) for k in order})
 
         envelopes = []
         for op, t, raw, date in zip(ops, ts, raws, dates):

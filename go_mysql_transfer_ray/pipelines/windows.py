@@ -181,15 +181,11 @@ def sessionize(
     start/end/count.  Output: (key, session_seq, n_events,
     start_ts, end_ts) with ``session_seq`` numbering a key's sessions
     from 0 in time order."""
-    from ..stages.merge import key_hash
+    from ..stages.merge import add_partition_column
     from ..stages.shuffle import storage_fold
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key_col)
-        if not pa.types.is_string(k.type):
-            k = pc.cast(k, pa.string())
-        part = (key_hash(k) % np.uint64(num_partitions)).astype(np.int32)
-        return t.append_column("_part", pa.array(part, pa.int32()))
+        return add_partition_column(t, num_partitions, col=key_col)
 
     def fold(group: pa.Table) -> pa.Table:
         k = group.column(key_col)
@@ -315,15 +311,25 @@ def asof_forward_fill(
             ),
         )
 
-    from ..stages.merge import key_hash
+    from ..stages.merge import add_partition_column
     from ..stages.shuffle import storage_fold
 
     def add_part(t: pa.Table) -> pa.Table:
-        k = t.column(key_col)
-        if not pa.types.is_string(k.type):
-            k = pc.cast(k, pa.string())
-        part = (key_hash(k) % np.uint64(num_partitions)).astype(np.int32)
-        return t.append_column("_part", pa.array(part, pa.int32()))
+        return add_partition_column(t, num_partitions, col=key_col)
+
+    # empty-input schema mirrors the fold's real output (input columns +
+    # the filled value), same contract sessionize pins — without it an
+    # empty/fully-filtered input returns a schema-less table that breaks
+    # the caller's select_columns
+    try:
+        schema = ds.schema()
+        empty_schema = {
+            n: (t if isinstance(t, pa.DataType) else pa.string())
+            for n, t in zip(schema.names, schema.types)
+        }
+        empty_schema[out_col] = pa.float64()
+    except Exception:
+        empty_schema = None
 
     # the exchange is the storage shuffle (stages/shuffle.storage_fold),
     # not the CPU-count-invariant sort groupby — same fill fold per
@@ -333,4 +339,5 @@ def asof_forward_fill(
         num_partitions,
         fill,
         label="asof",
+        empty_schema=empty_schema,
     )

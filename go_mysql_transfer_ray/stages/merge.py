@@ -79,8 +79,18 @@ def key_hash(keys: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return pd.util.hash_array(arr, categorize=False)
 
 
-def add_partition_column(t: pa.Table, num_partitions: int) -> pa.Table:
-    part = (key_hash(t.column("key")) % np.uint64(num_partitions)).astype(np.int32)
+def add_partition_column(
+    t: pa.Table, num_partitions: int, *, col: str = "key"
+) -> pa.Table:
+    """Append the hash-partition id for ``col`` — THE partitioning step
+    every storage-fold caller shares (windows/sessionize/asof included),
+    so null-handling or hash changes live in exactly one place."""
+    k = t.column(col)
+    if not pa.types.is_string(k.type):
+        import pyarrow.compute as pc
+
+        k = pc.cast(k, pa.string())
+    part = (key_hash(k) % np.uint64(num_partitions)).astype(np.int32)
     return t.append_column("_part", pa.array(part, type=pa.int32()))
 
 

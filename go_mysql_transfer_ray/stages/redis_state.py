@@ -115,10 +115,14 @@ class RedisPlan:
             )
 
     def _stringify(self, col: "pa.Array | pa.ChunkedArray") -> pa.Array:
+        # null → "" on EVERY branch: the reference's ToString(nil) is ""
+        # (string_util.go:162-215), and a null key part would otherwise
+        # null the whole merge key (binary_join_element_wise emits null
+        # through), breaking LWW convergence for those rows
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if pa.types.is_string(col.type):
-            return col
+            return pc.fill_null(col, "")
         if pa.types.is_floating(col.type):
             # Go shortest round-trip float formatting
             vals = col.to_numpy(zero_copy_only=False)
@@ -126,13 +130,20 @@ class RedisPlan:
                 [to_string_go(None if np.isnan(v) else float(v)) for v in vals],
                 pa.string(),
             )
-        return pc.cast(col, pa.string())
+        return pc.fill_null(pc.cast(col, pa.string()), "")
 
     def keys(self, batch: pa.Table) -> pa.Array:
         """Vectorized key construction (redis.go:271-298 precedence:
         fixed value > formatter > column/PK; key_prefix applies ONLY to
         the column/PK branch — a fixed or templated key is returned
-        verbatim, redis.go:272-283 early returns)."""
+        verbatim, redis.go:272-283 early returns).
+
+        Known divergence: the reference renders the formatter over the
+        RULE-projected rowMap (redis.go:276-283 — default_column_values
+        present, excluded columns absent → ``<no value>``), while this
+        plan renders over the decoded batch columns.  A formatter that
+        references a rule default or an excluded column behaves
+        differently; none of the reference docs' configs combine those."""
         cfg = self.cfg
         if cfg.key_value:
             return pa.array([cfg.key_value] * batch.num_rows, pa.string())
@@ -182,7 +193,17 @@ class RedisPlan:
     def scores(self, batch: pa.Table) -> "pa.Array | None":
         if self.cfg.structure != "sortedset":
             return None
-        return pc.cast(batch.column(self.field_column), pa.float64())
+        col = batch.column(self.field_column)
+        # reference parity: nil score → 0 and a non-numeric score string
+        # → 0 (encodeSortedSetScoreField redis.go:319-327 via
+        # ToFloat64Safe) — a raw cast would keep null / crash the replay
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            ok = pc.match_substring_regex(
+                pc.fill_null(col, ""),
+                r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$",
+            )
+            col = pc.if_else(ok, col, pa.scalar("0"))
+        return pc.fill_null(pc.cast(col, pa.float64()), 0.0)
 
 
 def _op_table(
