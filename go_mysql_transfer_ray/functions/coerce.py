@@ -139,17 +139,50 @@ def coerce_date(col, spec: ColumnSpec, formatter: str = "") -> pa.Array:
     return _reformat_temporal(col, DEFAULT_DATE_FORMAT, formatter)
 
 
-_INT_RE = r"^-?[0-9]+$"
+_INT_RE = r"^[+-]?[0-9]+$"
 _FLOAT_RE = r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
 
+def int64_parse_mask(a: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Go ``strconv.ParseInt`` base-10 acceptance INCLUDING the int64
+    range check — ``pc.cast`` raises on overflow instead of nulling, so
+    a 20-digit value would otherwise kill the whole decode task where
+    the reference returns nil.  19-digit magnitudes compare textually
+    against the int64 limits (equal-length digit strings order
+    numerically)."""
+    ok = pc.fill_null(pc.match_substring_regex(a, _INT_RE), False)
+    filled = pc.fill_null(a, "")
+    digits = pc.utf8_ltrim(pc.utf8_ltrim(filled, "+-"), "0")
+    n = pc.utf8_length(digits)
+    neg = pc.starts_with(filled, "-")
+    lim = pc.if_else(
+        neg,
+        pa.scalar("9223372036854775808"),
+        pa.scalar("9223372036854775807"),
+    )
+    in_range = pc.or_(
+        pc.less(n, 19), pc.and_(pc.equal(n, 19), pc.less_equal(digits, lim))
+    )
+    return pc.and_(ok, in_range)
+
+
+def strip_plus_sign(a: "pa.Array | pa.ChunkedArray"):
+    """Arrow's string→int64 cast rejects a leading ``+`` that Go's
+    ParseInt accepts — strip it before casting."""
+    return pc.replace_substring_regex(a, pattern=r"^\+", replacement="")
+
+
 def coerce_number(col, spec: ColumnSpec) -> pa.Array:
-    """string → int64; parse failure → null (:180-197)."""
+    """string → int64; parse failure OR int64 overflow → null (:180-197,
+    strconv.ParseInt semantics)."""
     a = _as_array(col)
     if pa.types.is_integer(a.type):
         return pc.cast(a, pa.int64())
-    ok = pc.fill_null(pc.match_substring_regex(a, _INT_RE), False)
-    return pc.cast(pc.if_else(ok, a, pa.scalar(None, pa.string())), pa.int64())
+    ok = int64_parse_mask(a)
+    return pc.cast(
+        pc.if_else(ok, strip_plus_sign(a), pa.scalar(None, pa.string())),
+        pa.int64(),
+    )
 
 
 def coerce_float(col, spec: ColumnSpec) -> pa.Array:

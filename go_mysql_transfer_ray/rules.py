@@ -136,6 +136,16 @@ class RulePlan:
         self.encoder = ENCODERS.get(config.value_encoder)
         self.pk_indices = [self._lookup(k)[1] for k in config.primary_keys]
         self.is_composite = len(self.pk_indices) > 1
+        # compile-time guard: a rule output named like a decode meta
+        # column (via column_mappings or defaults) would silently
+        # overwrite the merge key / op routing downstream
+        _meta = {"key", "gtid", "seq_in_txn", "op", "ts", "pos", "table"}
+        clash = _meta & set(self.output_order)
+        if clash:
+            raise ValueError(
+                f"rule output column(s) {sorted(clash)} collide with the "
+                "engine's meta columns — pick different target names"
+            )
 
     # -- compile helpers --------------------------------------------------
 
@@ -184,7 +194,15 @@ class RulePlan:
         order (endpoint.go:309-316); single PK: converted value."""
         if not self.is_composite:
             spec = self.columns[self.pk_indices[0]]
-            return coerce_column(batch.column(spec.name), spec)
+            # formatter-aware, like the projection: the reference builds
+            # the single PK through convertColumnData with the rule's
+            # date/datetime formatters (endpoint.go:317-322,156-161)
+            return coerce_column(
+                batch.column(spec.name),
+                spec,
+                datetime_formatter=self.config.datetime_formatter,
+                date_formatter=self.config.date_formatter,
+            )
         parts = []
         for idx in self.pk_indices:
             spec = self.columns[idx]

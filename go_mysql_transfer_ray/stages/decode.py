@@ -11,8 +11,9 @@ guard + per-column type normalization:
   `service/handler.go:83-86`): vectorized equality predicate;
 * arity guard (`service/endpoint/redis.go:106-109` — repeated in all 7
   endpoints): rows whose ``col_count`` mismatches the schema width valid at
-  their position are dropped; the count of dropped rows is tracked per
-  batch in a ``_dropped`` metrics column emitted via side-channel counters;
+  their position are dropped silently, exactly as the reference's endpoints
+  skip them (correctness is proven by oracle parity on bad-arity fixtures,
+  not by a drop counter);
 * NUMBER coercion for the DDL-added ``stars`` column
   (`service/endpoint/endpoint.go:180-197`): parse failure → null.
 
@@ -29,15 +30,42 @@ from ..schema import TABLE_COLUMNS, TABLE_NAME, TABLE_PKS
 
 _KEY_SEP = "\x00"  # table identity embedded in the multi-table merge key
 
+# meta columns the decode output computes — a payload column with one of
+# these names would silently OVERWRITE the merge key / op routing in the
+# output dict, so registration fails loudly instead
+RESERVED_META = ("gtid", "seq_in_txn", "pos", "op", "ts", "key", "before")
+
+
+def _check_reserved(
+    table: str,
+    columns: "tuple[str, ...]",
+    ddl_columns: "tuple[tuple[str, str], ...]" = (),
+    *,
+    extra: "tuple[str, ...]" = (),
+) -> None:
+    reserved = set(RESERVED_META) | set(extra)
+    clash = reserved & (set(columns) | {n for n, _ in ddl_columns})
+    if clash:
+        raise ValueError(
+            f"table {table!r} declares payload column(s) {sorted(clash)} "
+            "that collide with decode meta columns — rename them (the "
+            "reference routes by these fields too; a collision would "
+            "silently corrupt the merge key / op routing)"
+        )
+
 
 def _coerce_ddl(raw: pa.Array, mtype: str) -> pa.Array:
     """DDL-added columns arrive as raw strings; coerce per declared type —
     NUMBER: digits-only check then cast, unparsable → null
     (endpoint.go:180-197); FLOAT: same with a float pattern; else string."""
     if mtype == "number":
-        ok = pc.match_substring_regex(raw, r"^-?[0-9]+$")
+        from ..functions.coerce import int64_parse_mask, strip_plus_sign
+
+        # range-checked parse: a 20-digit value must null (ParseInt
+        # semantics), never crash the decode task in pc.cast
+        ok = int64_parse_mask(raw)
         return pc.cast(
-            pc.if_else(pc.fill_null(ok, False), raw, pa.scalar(None, pa.string())),
+            pc.if_else(ok, strip_plus_sign(raw), pa.scalar(None, pa.string())),
             pa.int64(),
         )
     if mtype == "float":
@@ -187,6 +215,11 @@ class Decoder:
         self.ddl_gtid = ddl_gtid
         self.keep_before = keep_before
         self.ddl_columns = tuple(ddl_columns)
+        _check_reserved(
+            table,
+            tuple(payload_columns or TABLE_COLUMNS.get(table, ())),
+            self.ddl_columns,
+        )
         # projection pushdown: extract only the payload columns a
         # downstream rule consumes (must include its PKs) — the arity
         # guard still counts the FULL table width via base_width.
@@ -231,11 +264,20 @@ class MultiDecoder:
             columns = tuple(spec.get("columns") or TABLE_COLUMNS[table])
             pks = tuple(spec.get("pk_columns") or TABLE_PKS[table])
             ddl_columns = tuple(spec.get("ddl_columns") or ())
+            _check_reserved(table, columns, ddl_columns, extra=("table",))
             self.specs[table] = {
                 "columns": columns,
                 "pk_columns": pks,
                 "ddl_gtid": spec.get("ddl_gtid"),
                 "ddl_columns": ddl_columns,
+                # the arity guard counts the FULL registered table width;
+                # a projected `columns` subset must not shrink it (it
+                # would silently drop every row of the table)
+                "base_width": (
+                    len(TABLE_COLUMNS[table])
+                    if table in TABLE_COLUMNS
+                    else len(columns)
+                ),
             }
             for c in columns:
                 self._claim(union, c, pa.string(), table)
@@ -262,6 +304,7 @@ class MultiDecoder:
                 table=table,
                 columns=spec["columns"],
                 pk_columns=spec["pk_columns"],
+                base_width=spec["base_width"],
                 ddl_gtid=spec["ddl_gtid"],
                 ddl_columns=spec["ddl_columns"],
                 keep_before=self.keep_before,

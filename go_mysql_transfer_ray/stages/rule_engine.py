@@ -239,13 +239,25 @@ class RuleEngine:
                 cols["key"] = pa.array(out_keys, pa.string())
             else:
                 cols[name] = col.take(pa.array(keep_idx, pa.int64()))
-        # deterministic column order: plan output order, then sorted extras
-        extra = sorted({k for r in out_rows for k in r} - set(projected.column_names))
-        all_names = [
-            c for c in projected.column_names if any(c in r for r in out_rows)
-        ] + extra
-        for name in all_names:
-            cols[name] = pa.array([r.get(name) for r in out_rows])
+        # deterministic column order: plan output order, then sorted
+        # extras.  Projected columns are ALWAYS emitted (typed from the
+        # plan) even when every out row of THIS batch omits them — the
+        # schema must not drift per batch (the empty-batch fast path
+        # above keeps the full projected schema; non-empty batches must
+        # agree or the downstream concat/write fails)
+        proj_names = list(projected.column_names)
+        extra = sorted({k for r in out_rows for k in r} - set(proj_names))
+        for name in proj_names + extra:
+            vals = [r.get(name) for r in out_rows]
+            if name in projected.column_names:
+                try:
+                    cols[name] = pa.array(
+                        vals, type=projected.schema.field(name).type
+                    )
+                    continue
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    pass  # UDF changed the column's type: infer below
+            cols[name] = pa.array(vals)
         return pa.table(cols)
 
 

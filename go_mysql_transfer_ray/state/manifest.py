@@ -30,6 +30,16 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+def _write_json_atomic(path: str, obj) -> None:
+    """THE atomic-JSON recipe (write-temp + os.replace) every manifest
+    artifact shares — one place to add fsync or collision handling."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def manifest_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifests")
 
@@ -37,17 +47,25 @@ def manifest_dir(out_dir: str) -> str:
 def atomic_write_parquet_dir(ds, out_path: str) -> str:
     """Write a Dataset as a Parquet directory with tmp-dir + rename swap.
 
-    Readers see either the previous complete directory or the new one,
-    never a partial write — the directory-level analogue of the
-    manifest's write-temp + ``os.replace``.  Used by the decoded-change
-    and oracle-relation exports (idempotent re-writes)."""
+    A reader never sees a partial write, and a crash never DESTROYS the
+    previous complete export: the old directory is renamed aside (not
+    rmtree'd) before the new one takes its place, and deleted only after
+    the swap — POSIX has no atomic directory exchange, so the one
+    remaining hazard is a crash in the instant between the two renames,
+    which leaves the previous data intact under ``<out>.old.<pid>``.
+    Used by the decoded-change and oracle-relation exports (idempotent
+    re-writes)."""
     import shutil
 
-    tmp = out_path + ".tmp"
+    tmp = f"{out_path}.tmp.{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)
     ds.write_parquet(tmp)
-    shutil.rmtree(out_path, ignore_errors=True)
+    old = f"{out_path}.old.{os.getpid()}"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_path):
+        os.rename(out_path, old)
     os.rename(tmp, out_path)
+    shutil.rmtree(old, ignore_errors=True)
     return out_path
 
 
@@ -73,13 +91,9 @@ def write_partition(
         "rows": table.num_rows,
         "plan": plan,
     }
-    mdir = manifest_dir(out_dir)
-    os.makedirs(mdir, exist_ok=True)
-    mpath = os.path.join(mdir, f"part-{part:05d}.json")
-    tmpm = mpath + ".tmp"
-    with open(tmpm, "w") as f:
-        json.dump(m, f)
-    os.replace(tmpm, mpath)
+    _write_json_atomic(
+        os.path.join(manifest_dir(out_dir), f"part-{part:05d}.json"), m
+    )
     return m
 
 
@@ -99,13 +113,9 @@ def write_marker(
         "rows": int(rows),
         "plan": plan,
     }
-    mdir = manifest_dir(out_dir)
-    os.makedirs(mdir, exist_ok=True)
-    mpath = os.path.join(mdir, f"part-{part:05d}.json")
-    tmpm = mpath + ".tmp"
-    with open(tmpm, "w") as f:
-        json.dump(m, f)
-    os.replace(tmpm, mpath)
+    _write_json_atomic(
+        os.path.join(manifest_dir(out_dir), f"part-{part:05d}.json"), m
+    )
     return m
 
 
@@ -141,13 +151,10 @@ def save_schema(out_dir: str, ddl_events: list) -> None:
     across sync sessions (/root/reference/service/transfer_service.go:
     249-262 fetches it per start; we persist what the stream taught us so
     later micro-batches know the schema ALTERs they didn't see)."""
-    mdir = manifest_dir(out_dir)
-    os.makedirs(mdir, exist_ok=True)
-    path = os.path.join(mdir, "_schema.json")
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"ddl_events": ddl_events}, f)
-    os.replace(tmp, path)
+    _write_json_atomic(
+        os.path.join(manifest_dir(out_dir), "_schema.json"),
+        {"ddl_events": ddl_events},
+    )
 
 
 def load_schema(out_dir: str) -> list:
@@ -187,10 +194,6 @@ def set_watermarks(out_dir: str, watermark: int) -> int:
     n = 0
     for p, m in load_manifests(out_dir).items():
         m["gtid_watermark"] = int(watermark)
-        path = os.path.join(mdir, f"part-{p:05d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, path)
+        _write_json_atomic(os.path.join(mdir, f"part-{p:05d}.json"), m)
         n += 1
     return n
