@@ -1961,9 +1961,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stock_projection_rule": q_stock_projection_rule,
         "composite_key_lineitem": q_composite_key_lineitem,
         "events_filter_project": q_events_filter_project,
-        "fingerprints": q_fingerprints,
+        # RulePlan.__init__ / build_key changed in the final review sweep
+        # (reserved-meta guard, formatter-aware single-PK key) — these two
+        # traverse it, so they re-enter the window; fingerprints and
+        # chunk_documents (text.py / chunking untouched this round) rotate
+        # to the tail in their place
+        "date_format_orders": q_date_format_orders,
+        "es_mapping_infer": q_es_mapping_infer,
         "sessionize": q_sessionize,
-        "chunk_documents": q_chunk_documents,
         # datapipe.py changed late in r5 (_knuth_hash consolidation,
         # exact-integer pack ranges) — these three re-enter the window
         "deterministic_shard": q_deterministic_shard,
@@ -1982,10 +1987,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stable tail: green in r4, modules untouched this round ------
         "doc_token_counts": q_doc_token_counts,
         "tpch_q1ish": q_tpch_q1ish,
-        "date_format_orders": q_date_format_orders,
+        "fingerprints": q_fingerprints,
         "lookup_join_nation": q_lookup_join_nation,
         "doc_quality": q_doc_quality,
-        "es_mapping_infer": q_es_mapping_infer,
+        "chunk_documents": q_chunk_documents,
         "group_topk": q_group_topk,
         "window_daily_stats": q_window_daily_stats,
         "hopping_daily_stats": q_hopping_daily_stats,
