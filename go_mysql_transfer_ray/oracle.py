@@ -37,13 +37,22 @@ BASE_WIDTH = 5  # (repo, path, commit, lang, content)
 
 
 def coerce_number(raw: str | None) -> int | None:
-    """Reference NUMBER coercion: parse failure → null (endpoint.go:180-197)."""
+    """Reference NUMBER coercion: parse failure → null (endpoint.go:180-197).
+
+    Exact ``strconv.ParseInt(s, 10, 64)`` acceptance — NOT Python
+    ``int()``, which additionally accepts underscores (``"1_0"``),
+    unicode digits, surrounding whitespace and unbounded magnitude;
+    Go rejects all of those (returns err → the sink stores nil), and
+    the engine's ``functions.coerce.coerce_number`` mask does too."""
     if raw is None:
         return None
-    try:
-        return int(raw)
-    except ValueError:
+    body = raw[1:] if raw[:1] in ("+", "-") else raw
+    if not body or any(c not in "0123456789" for c in body):
         return None
+    v = int(raw)
+    if not (-(2**63) <= v <= 2**63 - 1):
+        return None
+    return v
 
 
 def composite_key(repo: str, path: str) -> str:

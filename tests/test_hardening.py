@@ -212,3 +212,22 @@ def test_envelope_null_ts_renders_zero_and_utf8_raw():
     assert '"timestamp":0' in value          # None is not valid JSON
     assert "héllo✓" in value                 # ensure_ascii=False (Go json.Marshal)
     assert "\\u00e9" not in value
+
+
+# -- sequential oracle coercion must equal the engine's ParseInt mask -------
+
+
+def test_oracle_coerce_number_matches_engine_mask():
+    from go_mysql_transfer_ray import oracle
+
+    adversarial = [
+        None, "", "42", "+42", "-42", " 5", "5 ", "1_0", "٣",  # ٣
+        "12a", "1e3", "0x10", "007", str(INT64_MAX), str(INT64_MIN),
+        "9223372036854775808", "-9223372036854775809",
+        "99999999999999999999999", "+0", "-0",
+    ]
+    engine = coerce_number(
+        pa.array(adversarial, pa.string()), ColumnSpec("stars", "number")
+    ).to_pylist()
+    seq = [oracle.coerce_number(v) for v in adversarial]
+    assert seq == engine
