@@ -231,3 +231,29 @@ def test_oracle_coerce_number_matches_engine_mask():
     ).to_pylist()
     seq = [oracle.coerce_number(v) for v in adversarial]
     assert seq == engine
+
+
+def test_coercion_parity_property():
+    """Property: over arbitrary strings (signs, digits of every script,
+    huge magnitudes, junk), the engine's vectorized ParseInt mask and the
+    sequential oracle's coercion agree element-wise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from go_mysql_transfer_ray import oracle
+
+    digitish = st.text(
+        alphabet=st.sampled_from(list("0123456789+-_. eE\t٣①x")), max_size=25
+    )
+    big = st.integers(min_value=-(2**70), max_value=2**70).map(str)
+    val = st.one_of(st.none(), digitish, big)
+
+    @given(st.lists(val, min_size=1, max_size=50))
+    @settings(max_examples=200, deadline=None)
+    def check(vals):
+        engine = coerce_number(
+            pa.array(vals, pa.string()), ColumnSpec("stars", "number")
+        ).to_pylist()
+        assert engine == [oracle.coerce_number(v) for v in vals]
+
+    check()
